@@ -1,0 +1,76 @@
+"""Encoder parity/unit tests: IDE vs golden torch fixtures, SH/freq properties."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from envidr_tpu.ops.ide import ide_encode, ide_output_dim
+from envidr_tpu.ops.sh import sh_encode, sh_output_dim
+from envidr_tpu.ops.freq import freq_encode, freq_output_dim
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.fixture(scope="module")
+def ide_fix():
+    return np.load(os.path.join(GOLDEN, "ide.npz"))
+
+
+@pytest.mark.parametrize("deg", [2, 3, 4, 5])
+def test_ide_matches_reference(ide_fix, deg):
+    dirs = jnp.asarray(ide_fix["dirs"])
+    rough = jnp.asarray(ide_fix["rough"])
+    got = ide_encode(dirs, rough, deg_view=deg)
+    assert got.shape == (dirs.shape[0], ide_output_dim(deg))
+    # deg 5's l=16 band suffers fp32 cancellation in the z-Vandermonde matmul
+    # (coefficients ~1e3 with alternating signs); torch has the same noise with
+    # a different summation order, so the cross-impl gap is O(2e-4) there.
+    atol = 2e-5 if deg < 5 else 3e-4
+    np.testing.assert_allclose(got, ide_fix[f"deg{deg}"], atol=atol, rtol=1e-4)
+    # real-valued reference variant agrees too
+    np.testing.assert_allclose(got, ide_fix[f"deg{deg}_wo_j"], atol=atol, rtol=1e-4)
+
+
+@pytest.mark.parametrize("deg", [4, 5])
+def test_ide_scalar_roughness(ide_fix, deg):
+    dirs = jnp.asarray(ide_fix["dirs"])
+    got = ide_encode(dirs, 0.64, deg_view=deg)
+    atol = 2e-5 if deg < 5 else 3e-4
+    np.testing.assert_allclose(got, ide_fix[f"deg{deg}_r0.64"], atol=atol, rtol=1e-4)
+
+
+def test_ide_grad_finite():
+    dirs = jnp.asarray([[0.3, -0.4, 0.866], [0.0, 0.0, 1.0]])
+    g = jax.grad(lambda d: ide_encode(d, 0.1, deg_view=4).sum())(dirs)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_sh_constant_band():
+    d = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    out = sh_encode(d, degree=1)
+    np.testing.assert_allclose(out, 0.28209479177387814, rtol=1e-6)
+
+
+@pytest.mark.parametrize("degree", [1, 2, 3, 4, 5, 6, 7, 8])
+def test_sh_orthonormality(degree):
+    """Monte-Carlo Gram matrix of the basis over the sphere ~ identity."""
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(200_000, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    y = np.asarray(sh_encode(jnp.asarray(d, jnp.float32), degree=degree))
+    gram = (y.T @ y) / d.shape[0] * 4 * np.pi
+    np.testing.assert_allclose(gram, np.eye(sh_output_dim(degree)), atol=0.06)
+
+
+def test_freq_encode_shape_and_values():
+    x = jnp.asarray([[0.5, -0.25, 1.0]])
+    out = freq_encode(x, degree=2)
+    assert out.shape == (1, freq_output_dim(3, 2))
+    np.testing.assert_allclose(out[0, :3], x[0], rtol=1e-6)
+    np.testing.assert_allclose(out[0, 3:6], np.sin([0.5, -0.25, 1.0]), rtol=1e-5)
+    np.testing.assert_allclose(out[0, 6:9], np.cos([0.5, -0.25, 1.0]), rtol=1e-5)
+    np.testing.assert_allclose(out[0, 9:12], np.sin([1.0, -0.5, 2.0]), rtol=1e-5)
+    assert freq_encode(x, degree=0) is x
