@@ -128,20 +128,32 @@ class NetworkConfig:
     bg_radius: float = -1.0
     num_layers_bg: int = 2
     hidden_dim_bg: int = 64
+    # --- TPU-specific -------------------------------------------------------
+    # Numerical (central-difference) SDF gradients instead of autodiff
+    # double-backward.  6 extra forward evals, but the eikonal/normal losses
+    # then need only FIRST-order backprop — on TPU the second-order graph
+    # through the hash gathers costs ~10x the whole rest of the step (and is
+    # the Neuralangelo recipe: numerical grads also behave better for hash
+    # grids).  The analytic path (reference parity, renderer.py:182-198)
+    # remains the default.
+    numerical_normals: bool = False
+    numerical_normals_eps: float = 0.005
 
     # ----- derived dims -----------------------------------------------------
     @property
     def hash_spec(self) -> HashGridSpec:
-        interp = "smoothstep" if self.encoding_pos == "hashgrid_diff" else "linear"
+        interp = "linear" if self.encoding_pos == "hashgrid" else "smoothstep"
+        indexing = "rolled_tiled" if self.encoding_pos == "rolled_tiled" else "hash"
         return HashGridSpec(
             input_dim=3, num_levels=self.num_levels, level_dim=self.level_dim,
             base_resolution=self.base_resolution,
             desired_resolution=int(self.bound * self.desired_resolution),
-            log2_hashmap_size=self.log2_hashmap_size, interpolation=interp)
+            log2_hashmap_size=self.log2_hashmap_size, interpolation=interp,
+            indexing=indexing)
 
     @property
     def pos_enc_dim(self) -> int:
-        if self.encoding_pos in ("hashgrid", "hashgrid_diff"):
+        if self.encoding_pos in ("hashgrid", "hashgrid_diff", "rolled_tiled"):
             return self.num_levels * self.level_dim
         return freq_output_dim(3, self.multires)
 
@@ -261,7 +273,7 @@ def init_network_params(key, cfg: NetworkConfig) -> Dict[str, Any]:
     keys = iter(jax.random.split(key, 16))
     params: Dict[str, Any] = {}
 
-    if cfg.encoding_pos in ("hashgrid", "hashgrid_diff"):
+    if cfg.encoding_pos in ("hashgrid", "hashgrid_diff", "rolled_tiled"):
         params["encoder"] = init_hash_params(next(keys), cfg.hash_spec)
 
     if cfg.use_sdf:
@@ -330,7 +342,7 @@ def init_network_params(key, cfg: NetworkConfig) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 def encode_position(params, cfg: NetworkConfig, xyz, level_mask=None):
-    if cfg.encoding_pos in ("hashgrid", "hashgrid_diff"):
+    if cfg.encoding_pos in ("hashgrid", "hashgrid_diff", "rolled_tiled"):
         x = hash_encode_from_world(xyz, params["encoder"]["embeddings"],
                                    cfg.hash_spec, bound=cfg.bound)
         if level_mask is not None:
@@ -424,14 +436,24 @@ def geometry_with_normals(params, cfg: NetworkConfig, xyz, material=None,
     if not need_normals:
         return forward_geometry(params, cfg, xyz, material, level_mask), None, None
 
-    def sdf_sum(pts):
-        g = forward_geometry(params, cfg, pts, material, level_mask)
-        field = g["sdf"] if cfg.use_sdf else g["sigma"]
-        return jnp.sum(field), g
+    if cfg.numerical_normals:
+        # central differences: [*, 6, 3] probe points in one batched forward
+        eps = cfg.numerical_normals_eps
+        offsets = jnp.concatenate([jnp.eye(3), -jnp.eye(3)]) * eps   # [6, 3]
+        probe = xyz[..., None, :] + offsets                           # [*, 6, 3]
+        geo_out = forward_geometry(params, cfg, xyz, material, level_mask)
+        probe_geo = forward_geometry(params, cfg, probe, material, level_mask)
+        f = probe_geo["sdf"] if cfg.use_sdf else -probe_geo["sigma"]  # [*, 6]
+        grads = (f[..., 0:3] - f[..., 3:6]) / (2.0 * eps)             # [*, 3]
+    else:
+        def sdf_sum(pts):
+            g = forward_geometry(params, cfg, pts, material, level_mask)
+            field = g["sdf"] if cfg.use_sdf else g["sigma"]
+            return jnp.sum(field), g
 
-    grads, geo_out = jax.grad(sdf_sum, has_aux=True)(xyz)
-    if not cfg.use_sdf:
-        grads = -grads
+        grads, geo_out = jax.grad(sdf_sum, has_aux=True)(xyz)
+        if not cfg.use_sdf:
+            grads = -grads
     raw_gradients = grads
     normals = jax.lax.stop_gradient(grads) if cfg.detach_normal else grads
     normals = unit_norm(normals, eps=1e-10)

@@ -43,6 +43,15 @@ class HashGridSpec:
     per_level_scale: float = 2.0
     desired_resolution: int | None = 2048
     interpolation: str = "smoothstep"  # 'smoothstep' (hashgrid_diff) | 'linear'
+    # 'hash': reference-exact prime-XOR hashing (8 row-gathers/level-sample).
+    # 'rolled_tiled': TPU-fast path — tiled (dense-mod-S) indexing; the 8
+    #   corner offsets become STATIC rolls of each level's table, so a
+    #   per-step corner-blocked table [S, 8C] serves each sample with ONE
+    #   row gather (8x fewer gather/scatter rows; XLA row-gathers are the
+    #   bottleneck op on TPU).  Dense levels (res^3 <= S) are numerically
+    #   IDENTICAL to the reference; hashed levels trade prime-XOR collisions
+    #   for tiled aliasing (torch-ngp's gridtype='tiled').
+    indexing: str = "hash"
 
     # derived (filled in __post_init__)
     scale_factor: float = dataclasses.field(init=False)
@@ -92,28 +101,21 @@ def init_hash_params(key, spec: HashGridSpec, std: float = 1e-4, dtype=jnp.float
     return {"embeddings": emb}
 
 
-def _corner_indices(pos_grid: jnp.ndarray, level: int, spec: HashGridSpec):
-    """Flat table index for integer grid coords pos_grid[..., D] at `level`.
-
-    Mirrors ``get_grid_index`` (``hashencoder.cu:55-72``): dense row-major index
-    when resolution^D fits the per-level table, else prime-XOR fast_hash; both
-    reduced mod hashmap_size.
-    """
+def _level_constants(spec: HashGridSpec):
+    """Per-level constants as stacked arrays (for the vmapped level body)."""
+    L = spec.num_levels
     D = spec.input_dim
-    resolution = spec.resolutions[level]
-    hashmap_size = spec.offsets[level + 1] - spec.offsets[level]
-    pg = pos_grid.astype(jnp.uint32)
-    if resolution**D <= hashmap_size:
-        stride = 1
-        index = jnp.zeros(pos_grid.shape[:-1], dtype=jnp.uint32)
-        for d in range(D):
-            index = index + pg[..., d] * jnp.uint32(stride)
-            stride *= resolution
-    else:
-        index = jnp.zeros(pos_grid.shape[:-1], dtype=jnp.uint32)
-        for d in range(D):
-            index = index ^ (pg[..., d] * jnp.uint32(_PRIMES[d]))
-    return (index % jnp.uint32(hashmap_size)).astype(jnp.int32)
+    sizes = np.array([spec.offsets[l + 1] - spec.offsets[l] for l in range(L)],
+                     np.uint32)
+    dense = np.array([spec.resolutions[l] ** D <= sizes[l] for l in range(L)],
+                     bool)
+    return (
+        np.array(spec.scales, np.float32),
+        np.array(spec.resolutions, np.uint32),
+        sizes,
+        dense,
+        int(sizes.max()),
+    )
 
 
 def hash_encode(
@@ -125,48 +127,102 @@ def hash_encode(
 
     Out-of-bound samples produce zeros (``hashencoder.cu:126-148``).
     Differentiable to any order w.r.t. both inputs and embeddings.
+
+    TPU formulation: all L levels are evaluated by ONE vmapped body over
+    per-level tables padded to a uniform size — the whole encoder lowers to a
+    handful of batched gathers instead of L*2^D separate ones (tiny graphs,
+    fast XLA compiles, parallel execution).  Index math follows
+    ``get_grid_index`` (``hashencoder.cu:55-72``): dense row-major where
+    resolution^D fits the level's table, prime-XOR fast_hash otherwise, both
+    in wrapping uint32, reduced mod hashmap_size.
     """
     D = spec.input_dim
+    L = spec.num_levels
+    C = spec.level_dim
     prefix = inputs.shape[:-1]
     x = inputs.reshape(-1, D)
     oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1, keepdims=True)  # [B, 1]
 
-    level_outputs = []
-    for lvl in range(spec.num_levels):
-        scale = spec.scales[lvl]
-        resolution = spec.resolutions[lvl]
+    scales, resolutions, sizes, dense, s_max = _level_constants(spec)
+    # padded per-level tables [L, S_max, C] (slices are static; XLA fuses the
+    # pads away into the gather operand)
+    tables = jnp.stack([
+        jnp.pad(embeddings[spec.offsets[l]:spec.offsets[l + 1]],
+                ((0, s_max - int(sizes[l])), (0, 0)))
+        for l in range(L)
+    ])
+    scales_j = jnp.asarray(scales)
+    res_j = jnp.asarray(resolutions)
+    sizes_j = jnp.asarray(sizes)
+    dense_j = jnp.asarray(dense)
+    primes_j = jnp.asarray(np.array(_PRIMES[:D], np.uint32))
+
+    smooth = spec.interpolation == "smoothstep"
+
+    def level_body(table, scale, res, hm, is_dense):
         pos = x * scale                              # hashencoder.cu:160 (no +0.5)
         pos_grid = jnp.floor(pos)
         frac = pos - pos_grid
-        # No clamp: a +1 corner that lands at `resolution` carries interpolation
-        # weight exactly 0, and the mod-hashmap reduction keeps it in-bounds —
-        # same behavior as the unclamped CUDA kernel (hashencoder.cu:155-205).
-        pos_grid = pos_grid.astype(jnp.int32)
-        if spec.interpolation == "smoothstep":
-            w = frac * frac * (3.0 - 2.0 * frac)     # hashencoder.cu:87-89
-        else:
-            w = frac
-        table = jax.lax.dynamic_slice_in_dim(
-            embeddings, spec.offsets[lvl],
-            spec.offsets[lvl + 1] - spec.offsets[lvl], axis=0)
+        # No clamp: a +1 corner landing at `resolution` carries interpolation
+        # weight exactly 0 and mod-hashmap keeps it in-bounds — same as the
+        # unclamped CUDA kernel (hashencoder.cu:155-205).
+        pg = pos_grid.astype(jnp.uint32)
+        w = frac * frac * (3.0 - 2.0 * frac) if smooth else frac
+        strides = jnp.stack([jnp.uint32(1), res, res * res])[:D]
         acc = 0.0
         for corner in range(2**D):
-            weight = jnp.ones(x.shape[:-1], dtype=x.dtype)
-            offs = []
-            for d in range(D):
-                if corner & (1 << d):
-                    weight = weight * w[..., d]
-                    offs.append(1)
-                else:
-                    weight = weight * (1.0 - w[..., d])
-                    offs.append(0)
-            idx = _corner_indices(pos_grid + jnp.asarray(offs, dtype=jnp.int32),
-                                  lvl, spec)
-            vals = jnp.take(table, idx, axis=0)      # [B, C]
+            offs = jnp.asarray([(corner >> d) & 1 for d in range(D)], jnp.uint32)
+            wsel = jnp.where(offs[None, :] == 1, w, 1.0 - w)     # [B, D]
+            weight = jnp.prod(wsel, axis=-1)                      # [B]
+            cpos = pg + offs[None, :]
+            idx_dense = jnp.sum(cpos * strides[None, :], axis=-1)  # wraps u32
+            idx_hash = cpos[:, 0] * primes_j[0]
+            for d in range(1, D):
+                idx_hash = idx_hash ^ (cpos[:, d] * primes_j[d])
+            idx = jnp.where(is_dense, idx_dense, idx_hash) % hm
+            vals = jnp.take(table, idx.astype(jnp.int32), axis=0)  # [B, C]
             acc = acc + weight[..., None] * vals
-        level_outputs.append(acc)
+        return acc                                                # [B, C]
 
-    out = jnp.concatenate(level_outputs, axis=-1)    # [B, L*C]
+    if spec.indexing == "rolled_tiled":
+        # corner-blocked tables, built with STATIC per-level rolls on the
+        # UNPADDED slices so wraparound is exactly mod the level's table size
+        blocked_tables = []
+        for l in range(L):
+            tab_l = embeddings[spec.offsets[l]:spec.offsets[l + 1]]
+            r = int(resolutions[l])
+            rolls = []
+            for corner in range(2**D):
+                off = sum(((corner >> d) & 1) * (r**d) for d in range(D))
+                rolls.append(jnp.roll(tab_l, -(off % int(sizes[l])), axis=0))
+            blk = jnp.concatenate(rolls, axis=-1)                     # [S_l, 8C]
+            blocked_tables.append(
+                jnp.pad(blk, ((0, s_max - int(sizes[l])), (0, 0))))
+        blocked_tables = jnp.stack(blocked_tables)                    # [L, S, 8C]
+
+        def level_body_rolled(blocked, scale, res, hm):
+            pos = x * scale
+            pos_grid = jnp.floor(pos)
+            frac = pos - pos_grid
+            pg = pos_grid.astype(jnp.uint32)
+            w = frac * frac * (3.0 - 2.0 * frac) if smooth else frac
+            strides = jnp.stack([jnp.uint32(1), res, res * res])[:D]
+            base = jnp.sum(pg * strides[None, :], axis=-1) % hm       # [B]
+            rows = jnp.take(blocked, base.astype(jnp.int32), axis=0)  # [B, 8C]
+            rows = rows.reshape(-1, 2**D, C)
+            wcs = []
+            for corner in range(2**D):
+                offs = jnp.asarray([(corner >> d) & 1 for d in range(D)],
+                                   jnp.float32)
+                wsel = jnp.where(offs[None, :] == 1, w, 1.0 - w)
+                wcs.append(jnp.prod(wsel, axis=-1))
+            wc = jnp.stack(wcs, axis=-1)                              # [B, 8]
+            return jnp.sum(rows * wc[..., None], axis=1)              # [B, C]
+
+        out = jax.vmap(level_body_rolled)(blocked_tables, scales_j, res_j, sizes_j)
+    else:
+        out = jax.vmap(level_body)(tables, scales_j, res_j, sizes_j, dense_j)
+    out = jnp.moveaxis(out, 0, 1).reshape(-1, L * C)              # [B, L*C]
     out = jnp.where(oob, 0.0, out)
     return out.reshape(*prefix, spec.output_dim)
 

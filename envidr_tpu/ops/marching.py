@@ -1,0 +1,135 @@
+"""Occupancy-accelerated ray marching with static shapes.
+
+TPU-native replacement for ``kernel_march_rays_train``
+(``/root/reference/raymarching/src/raymarching.cu:341-509``) and the inference
+march (``:840-944``).
+
+Key insight enabling a dense formulation: the CUDA kernel's ``t`` progression
+is the *fixed* recurrence ``t += clamp(t*dt_gamma, dt_min, dt_max)`` regardless
+of occupancy — the DDA voxel-skip only short-circuits evaluation, never changes
+which t-values get sampled.  So the exact same sample set falls out of:
+
+    1. generate the full T-step candidate ladder per ray        (closed form
+       when dt_gamma == 0 — true for every shipped scene config),
+    2. one dense bool gather of cell occupancy for all N*T candidates,
+    3. select the first K occupied candidates per ray (cumsum + scatter).
+
+No atomics, no compaction syncs, no ``.item()`` host round-trips (the
+reference pays one per step, ``raymarching/raymarching.py:236``).  K is a
+static budget adapted between jit calls from the running mean sample count.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from envidr_tpu.ops.grid import cell_index
+
+SQRT3 = 3.0**0.5
+
+
+class MarchResult(NamedTuple):
+    xyzs: jnp.ndarray     # [N, K, 3] sample positions (0 where invalid)
+    dirs: jnp.ndarray     # [N, 3] (shared per ray; broadcast as needed)
+    dts: jnp.ndarray      # [N, K] step sizes (deltas[:,0] of the reference)
+    z_vals: jnp.ndarray   # [N, K] t + dt - near  (depth accumulator; see below)
+    ts: jnp.ndarray       # [N, K] raw t of each sample
+    mask: jnp.ndarray     # [N, K] bool sample validity
+    counts: jnp.ndarray   # [N] int32 samples per ray
+
+
+def march_rays(
+    rays_o: jnp.ndarray,          # [N, 3]
+    rays_d: jnp.ndarray,          # [N, 3]
+    nears: jnp.ndarray,           # [N]
+    fars: jnp.ndarray,            # [N]
+    bitfield: jnp.ndarray,        # [CAS, H^3] bool
+    *,
+    bound: float,
+    grid_size: int = 128,
+    dt_gamma: float = 0.0,
+    max_steps: int = 1024,        # T: candidate ladder length & dt_min divisor
+    num_samples: int = 128,       # K: static per-ray sample budget
+    early_stop_steps: int = -1,
+    perturb_key: Optional[jax.Array] = None,
+    t_start: Optional[jnp.ndarray] = None,  # resume t (inference continuation)
+) -> MarchResult:
+    N = rays_o.shape[0]
+    T = max_steps
+    K = num_samples
+    H = grid_size
+    cascades = bitfield.shape[0]
+    dt_min = 2.0 * SQRT3 / max_steps
+    dt_max = 2.0 * SQRT3 * (2 ** (cascades - 1)) / H
+
+    nears = jax.lax.stop_gradient(nears)
+    fars = jax.lax.stop_gradient(fars)
+    o = jax.lax.stop_gradient(rays_o)
+    d = jax.lax.stop_gradient(rays_d)
+
+    t0 = nears if t_start is None else t_start
+    if perturb_key is not None:
+        noise = jax.random.uniform(perturb_key, (N,))
+        t0 = t0 + jnp.clip(t0 * dt_gamma, dt_min, dt_max) * noise
+
+    # ---- candidate ladder [N, T] --------------------------------------
+    if dt_gamma == 0.0:
+        steps = jnp.arange(T, dtype=jnp.float32)
+        ts = t0[:, None] + steps[None, :] * dt_min
+        dts = jnp.full((N, T), dt_min, jnp.float32)
+    else:
+        def ladder(t, _):
+            dt = jnp.clip(t * dt_gamma, dt_min, dt_max)
+            return t + dt, (t, dt)
+        _, (ts, dts) = jax.lax.scan(ladder, t0, None, length=T)
+        ts, dts = ts.T, dts.T                                  # [N, T]
+
+    valid = ts < fars[:, None]
+
+    # ---- occupancy of each candidate ----------------------------------
+    xyz = jnp.clip(o[:, None, :] + ts[..., None] * d[:, None, :], -bound, bound)
+    if cascades > 1:
+        mx = jnp.max(jnp.abs(xyz), axis=-1)
+        # frexp exponent: mx in [2^(e-1), 2^e) -> e  (raymarching.cu:42-47)
+        _, exp_pos = jnp.frexp(jnp.maximum(mx, 1e-10))
+        _, exp_dt = jnp.frexp(jnp.maximum(dts * H * 0.5, 1e-10))
+        level = jnp.clip(jnp.maximum(exp_pos, exp_dt), 0, cascades - 1)
+    else:
+        level = jnp.zeros(ts.shape, jnp.int32)
+    mip_bound = jnp.minimum(2.0 ** level.astype(jnp.float32), bound)
+    cell = jnp.clip(
+        (0.5 * (xyz / mip_bound[..., None] + 1.0) * H).astype(jnp.int32), 0, H - 1)
+    flat = level * (H * H * H) + cell_index(cell, H)           # [N, T]
+    occ = jnp.take(bitfield.reshape(-1), flat)                 # [N, T] bool
+
+    sel = occ & valid
+    order = jnp.cumsum(sel.astype(jnp.int32), axis=-1) - 1     # rank among selected
+    k_eff = K if early_stop_steps <= 0 else min(K, early_stop_steps)
+    sel = sel & (order < k_eff)
+    counts = jnp.sum(sel.astype(jnp.int32), axis=-1)
+
+    # ---- compact [N, T] -> [N, K] -------------------------------------
+    # top_k instead of scatter: XLA scatters serialize on TPU, top_k is a
+    # vectorized bitonic pass.  Key = T - j for selected candidates (earlier
+    # sample -> larger key), 0 otherwise; descending top-K therefore yields
+    # the first K selected candidates in ray order.
+    j = jnp.arange(T, dtype=jnp.int32)[None, :]
+    keys = jnp.where(sel, T - j, 0)
+    top_keys, top_idx = jax.lax.top_k(keys, K)                 # [N, K]
+    mask_c = top_keys > 0
+
+    def compact(src):
+        return jnp.where(mask_c, jnp.take_along_axis(src, top_idx, axis=-1), 0)
+
+    ts_c = compact(ts)
+    dts_c = compact(dts)
+    xyz_c = jnp.stack([compact(xyz[..., i]) for i in range(3)], axis=-1)
+    # depth accumulator matches CUDA: last_t starts at near, deltas[:,1] sums
+    # to (t_k + dt_k - near) at sample k (raymarching.cu:455-462)
+    z_vals = jnp.where(mask_c, ts_c + dts_c - nears[:, None], 0.0)
+
+    return MarchResult(xyzs=xyz_c, dirs=d, dts=dts_c, z_vals=z_vals,
+                       ts=ts_c, mask=mask_c, counts=counts)

@@ -1,0 +1,183 @@
+"""The full ENVIDR loss assembly — all 13 terms of ``Trainer.train_step``
+(``/root/reference/nerf/utils.py:660-806``), as a pure function.
+
+Loss gating/weights arrive in a ``LossWeights`` pytree produced per step by the
+schedule resolver (:mod:`envidr_tpu.train.schedules`) — traced values, so
+weight schedules never trigger recompilation; a weight of 0.0 just multiplies
+a term out (XLA dead-code-eliminates unused branches only when statically off;
+the flags below gate *structurally* expensive terms).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from envidr_tpu.ops.density import laplace_density
+
+
+@dataclasses.dataclass(frozen=True)
+class LossFlags:
+    """Static structure gates (mirror the derived opt booleans,
+    options.py:290-298 + cfg_train_opt iter gates)."""
+
+    color_loss: str = "l1"          # 'l1' | 'l2' | 'huber' | 'relativel2'
+    use_diffuse_loss: bool = False
+    use_mask_loss: bool = False
+    use_relsdf_loss: bool = False
+    use_dist_bound: bool = False
+    use_backsdf_loss: bool = False
+    use_orientation_loss: bool = False
+    use_cauchy_loss: bool = False
+    use_entropy_loss: bool = False
+    use_eikonal_loss: bool = False
+    use_sdf_loss: bool = False      # sphere-mode surface sdf
+    relsdf_mode: str = "mean"
+    backsdf_mode: str = "sum"
+    backsdf_thresh: float = 0.1
+    cauchy_undetach_beta: bool = False
+    cauchy_roughness_weighted: bool = False
+    weighted_eikonal: bool = False
+
+
+class LossWeights(dict):
+    """Traced per-step weights; missing keys default to their .ini defaults."""
+
+
+DEFAULT_WEIGHTS = dict(
+    color=1.0, diffuse=1.0, mask=0.0, relsdf=0.0, dist_bound=0.0, backsdf=0.0,
+    orientation=0.0, cauchy=0.0, entropy=0.0, eikonal=0.0, sdf=0.0,
+)
+
+
+def _color_err(pred, gt, kind: str):
+    if kind == "l1":
+        return jnp.abs(pred - gt)
+    if kind == "l2":
+        return (pred - gt) ** 2
+    if kind == "huber":
+        d = jnp.abs(pred - gt)
+        return jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
+    if kind == "relativel2":
+        return (pred - gt) ** 2 / (jax.lax.stop_gradient(pred) ** 2 + 1e-2)
+    raise ValueError(kind)
+
+
+def compute_losses(
+    outputs: Dict[str, Any],
+    gt_rgb: jnp.ndarray,                 # [N, 3]
+    flags: LossFlags,
+    weights: Dict[str, jnp.ndarray],
+    *,
+    beta=None,                           # Laplace beta (for cauchy/entropy)
+    alpha_mask: Optional[jnp.ndarray] = None,   # [N] gt alpha
+    diffuse_gt: Optional[jnp.ndarray] = None,
+    roughness: Optional[jnp.ndarray] = None,
+):
+    """Returns (total_loss, per-term dict of detached scalars)."""
+    w = {**DEFAULT_WEIGHTS, **weights}
+    terms: Dict[str, jnp.ndarray] = {}
+
+    color = jnp.mean(_color_err(outputs["image"], gt_rgb, flags.color_loss))
+    loss = w["color"] * color
+    terms["color"] = color
+
+    if flags.use_diffuse_loss and diffuse_gt is not None:
+        t = jnp.mean(_color_err(outputs["diffuse_image"], diffuse_gt,
+                                flags.color_loss))
+        loss = loss + w["diffuse"] * t
+        terms["diffuse"] = t
+
+    if flags.use_mask_loss and alpha_mask is not None:
+        ws = jnp.clip(outputs["weights_sum"], 1e-3, 1.0 - 1e-3)
+        t = -jnp.mean(alpha_mask * jnp.log(ws)
+                      + (1.0 - alpha_mask) * jnp.log(1.0 - ws))
+        loss = loss + w["mask"] * t
+        terms["mask"] = t
+
+    pm = outputs.get("point_mask")
+
+    if flags.use_relsdf_loss:
+        l_d = (outputs["relsdf"] - outputs["est_relsdf"]) ** 2 * pm
+        t = jnp.mean(l_d) if flags.relsdf_mode == "mean" else jnp.sum(l_d)
+        loss = loss + w["relsdf"] * t
+        terms["relsdf"] = t
+
+    if flags.use_dist_bound:
+        l_db = jax.nn.relu(jnp.abs(outputs["relsdf"]) - outputs["sdf_dist"]) ** 2
+        t = jnp.sum(l_db * pm)
+        loss = loss + w["dist_bound"] * t
+        terms["dist_bound"] = t
+
+    if flags.use_backsdf_loss:
+        # utils.py:738-749: penalize sdf increasing along the ray (back-faces)
+        wts = outputs["sdf_weights"]
+        m = pm & (wts > flags.backsdf_thresh) & (outputs["relsdf"] > 0)
+        s_sq = outputs["relsdf"] ** 2
+        r_cos_sq = s_sq / (jnp.clip(outputs["sdf_dist"], 5e-4) ** 2 + s_sq)
+        num = jnp.sum(jnp.where(m, wts * r_cos_sq, 0.0))
+        denom = 1.0 if flags.backsdf_mode == "sum" \
+            else 1.0 + jnp.sum(jnp.where(m, wts, 0.0))
+        t = num / denom
+        loss = loss + w["backsdf"] * t
+        terms["backsdf"] = t
+
+    if flags.use_orientation_loss:
+        t = jnp.sum(jnp.where(pm, outputs["sdf_weights"]
+                              * jax.nn.relu(outputs["cos"]), 0.0))
+        loss = loss + w["orientation"] * t
+        terms["orientation"] = t
+
+    reg_density = None
+    if flags.use_cauchy_loss or flags.use_entropy_loss:
+        b = beta if flags.cauchy_undetach_beta else jax.lax.stop_gradient(beta)
+        reg_density = laplace_density(outputs["sdfs"], b, 1.0)
+
+    if flags.use_cauchy_loss:
+        # utils.py:760-774: log1p on (1-density)^2, pushes density to 0 or 1
+        scale = 4.0
+        rw = 1.0
+        if flags.cauchy_roughness_weighted and roughness is not None:
+            r = jax.lax.stop_gradient(roughness)[..., 0]
+            rw = jax.nn.sigmoid(0.5 * (1.0 / jnp.clip(r, 2e-2, 0.1) - 25.0)) * 10.0
+        t = (1.0 / scale) * jnp.mean(
+            jnp.log1p((1.0 - reg_density) ** 2 * scale**2) * rw)
+        loss = loss + w["cauchy"] * t
+        terms["cauchy"] = t
+
+    if flags.use_entropy_loss:
+        # utils.py:777-789
+        wts = outputs["sdf_weights"]
+        rd = reg_density[..., :-1] if reg_density.shape != wts.shape else reg_density
+        m = (wts > 0.02) & (rd > 0.05) & (rd < 0.95)
+        if pm is not None:
+            m = m & pm
+        t = jnp.sum(jnp.where(m, -jnp.log(1.0 - rd + 1e-6) * wts, 0.0))
+        loss = loss + w["entropy"] * t
+        terms["entropy"] = t
+
+    if flags.use_eikonal_loss:
+        g = outputs["sdf_gradients"]
+        norms = jnp.linalg.norm(g, axis=-1)
+        if flags.weighted_eikonal and "weights" in outputs:
+            norms = norms * jax.lax.stop_gradient(outputs["weights"])
+        mask = outputs.get("mask")
+        if mask is not None and mask.shape == norms.shape:
+            # masked mean over valid marched samples only
+            t = jnp.sum(jnp.where(mask, (norms - 1.0) ** 2, 0.0)) \
+                / jnp.maximum(jnp.sum(mask), 1)
+        else:
+            t = jnp.mean((norms - 1.0) ** 2)
+        loss = loss + w["eikonal"] * t
+        terms["eikonal"] = t
+
+    if flags.use_sdf_loss and "surf_sdfs" in outputs:
+        t = jnp.mean(jnp.abs(outputs["surf_sdfs"]))
+        loss = loss + w["sdf"] * t
+        terms["sdf"] = t
+
+    terms = {k: jax.lax.stop_gradient(v) for k, v in terms.items()}
+    return loss, terms

@@ -1,0 +1,518 @@
+"""Training runtime: optimizer groups, jitted train/eval steps, grid upkeep,
+EMA, checkpoints.
+
+Functional replacement for the reference ``Trainer``
+(``/root/reference/nerf/utils.py:350-1702``).  Structure:
+
+  * All device state lives in one :class:`TrainState` pytree.
+  * The train step is a pure jitted function built per static
+    :class:`~envidr_tpu.train.schedules.StepSchedule` signature (schedule
+    changes that alter structure recompile — weight annealing does not).
+  * Optimizer: optax adam(0.9, 0.99, eps=1e-15) with per-group LRs
+    (lr/plr/slr/elr, ``get_params`` network.py:772-819) via multi_transform;
+    frozen sub-MLPs get the zero transform.
+  * Occupancy grid refresh every ``update_extra_interval`` steps
+    (utils.py:1204-1213) as a second jitted function.
+  * No AMP GradScaler: TPUs train in bf16 compute without loss scaling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import pickle
+import time
+from typing import Any, Dict, Optional, Tuple  # noqa: F401
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from envidr_tpu.config import Options
+from envidr_tpu.geometry.rays import sampled_rays, srgb_to_linear
+from envidr_tpu.models.network import (
+    NetworkConfig, forward_geometry, init_network_params, sdf_to_sigma,
+)
+from envidr_tpu.ops.grid import GridSpec, OccupancyGrid, init_grid, mark_untrained, update_grid
+from envidr_tpu.render.scene import SceneRenderOptions, render_scene
+from envidr_tpu.render.sphere import SphereRenderOptions, render_sphere
+from envidr_tpu.train.losses import compute_losses
+from envidr_tpu.train.metrics import PSNRMeter
+from envidr_tpu.train.schedules import StepSchedule, level_mask, lr_lambda, resolve
+
+
+# Train state is a plain dict pytree: params / ema / opt_state / grid.
+
+
+# ---------------------------------------------------------------------------
+# optimizer with parameter groups + freezing
+# ---------------------------------------------------------------------------
+
+def _param_labels(params: dict, opt: Options) -> dict:
+    """Label each top-level param subtree: grid/net/scalar/env/frozen
+    (network.py:772-819)."""
+    frozen = set(opt.frozen_mlps)
+
+    def label_for(name: str) -> str:
+        if opt.train_renv:
+            return "net" if name == "renv_net" else "frozen"
+        if opt.train_env_only and name not in ("env_net", "env_nets", "renv_net"):
+            return "frozen"
+        if name == "encoder":
+            return "grid"
+        if name == "sdf_density":
+            return "scalar"
+        if name in ("env_net", "env_nets", "diffuse_env_net"):
+            return "env"
+        if name == "color_net" and "specular" in frozen:
+            return "frozen"
+        if name == "diffuse_net" and "diffuse" in frozen:
+            return "frozen"
+        if name == "renv_net" and "renv" in frozen:
+            return "frozen"
+        return "net"
+
+    return {name: jax.tree.map(lambda _: label_for(name), sub)
+            for name, sub in params.items()}
+
+
+def make_optimizer(params: dict, opt: Options) -> optax.GradientTransformation:
+    lr = opt.lr
+    plr = opt.plr or lr
+    slr = opt.slr or lr
+    elr = opt.elr or lr
+    sched = lambda step: lr_lambda(int(step) if isinstance(step, int) else step,
+                                   opt.iters)
+
+    def group(base_lr):
+        return optax.chain(
+            optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
+            optax.scale_by_schedule(lambda s: 0.1 ** jnp.minimum(s / opt.iters, 1.0)),
+            optax.scale(-base_lr),
+        )
+
+    transforms = {
+        "net": group(lr), "grid": group(plr), "scalar": group(slr),
+        "env": group(elr), "frozen": optax.set_to_zero(),
+    }
+    labels = _param_labels(params, opt)
+    return optax.multi_transform(transforms, labels)
+
+
+# ---------------------------------------------------------------------------
+# Trainer
+# ---------------------------------------------------------------------------
+
+class Trainer:
+    def __init__(self, opt: Options, cfg: NetworkConfig, *,
+                 params: Optional[dict] = None, seed: Optional[int] = None,
+                 workspace: Optional[str] = None):
+        self.opt = opt
+        self.cfg = cfg
+        self.workspace = workspace or opt.workspace
+        os.makedirs(os.path.join(self.workspace, "checkpoints"), exist_ok=True)
+
+        key = jax.random.PRNGKey(opt.seed if seed is None else seed)
+        self.key, init_key = jax.random.split(key)
+        params = params if params is not None else init_network_params(init_key, cfg)
+
+        # surgical .pth loading: color_mlp_path + resume_mlps (utils.py:509-530)
+        if opt.color_mlp_path:
+            params = self._resume_mlps(params, opt.color_mlp_path, opt.resume_mlps)
+
+        self.grid_spec = GridSpec(
+            grid_size=128, bound=cfg.bound,
+            density_thresh=opt.density_thresh, density_scale=1.0)
+
+        self.optimizer = make_optimizer(params, opt)
+        self.state = dict(
+            params=params,
+            ema=jax.tree.map(jnp.copy, params),
+            opt_state=self.optimizer.init(params),
+            grid=init_grid(self.grid_spec),
+        )
+        self.epoch = 0
+        self.global_step = 0
+        self.mean_count = -1.0
+        self.stats: Dict[str, Any] = {"loss": [], "results": [], "ckpts": []}
+        self.use_grid = not (opt.env_sph_mode or opt.render_env_on_sphere)
+
+    # ---------------- checkpoint import helpers ----------------
+
+    def _resume_mlps(self, params, path, which):
+        from envidr_tpu.io.torch_import import load_state_dict, network_params_from_state
+        sd = load_state_dict(path)
+        loaded = network_params_from_state(sd, self.cfg)
+        name_map = {"specular": "color_net", "diffuse": "diffuse_net",
+                    "renv": "renv_net", "diffuse_env": "diffuse_env_net",
+                    "specular_env": "env_net"}
+        out = dict(params)
+        for w in which:
+            key = name_map.get(w)
+            if key and key in loaded:
+                out[key] = loaded[key]
+                print(f"[trainer] resumed {key} from {path}")
+        return out
+
+    def swap_env_net(self, path: str, split_diffuse: bool = False):
+        """Relighting: replace env_net weights (utils.py:1582-1596)."""
+        from envidr_tpu.io.torch_import import load_env_net
+        new_env = load_env_net(path)
+        p = dict(self.state["params"])
+        if split_diffuse and "diffuse_env_net" in p:
+            p["diffuse_env_net"] = p["env_net"]
+        p["env_net"] = new_env
+        self.state["params"] = p
+        e = dict(self.state["ema"])
+        if split_diffuse and "diffuse_env_net" in e:
+            e["diffuse_env_net"] = e["env_net"]
+        e["env_net"] = new_env
+        self.state["ema"] = e
+
+    # ---------------- jitted steps ----------------
+
+    def _density_fn(self, params, level_mask_arr):
+        def fn(x):
+            geo = forward_geometry(params, self.cfg, x, None, level_mask_arr)
+            if self.cfg.use_sdf:
+                return sdf_to_sigma(params, self.cfg, geo["sdf"])
+            return geo["sigma"]
+        return fn
+
+    @functools.cached_property
+    def _update_grid_fn(self):
+        @jax.jit
+        def fn(params, grid: OccupancyGrid, key, lm):
+            return update_grid(grid, self.grid_spec,
+                               self._density_fn(params, lm), key)
+        return fn
+
+    def update_extra_state(self):
+        if not self.use_grid:
+            return
+        self.key, sub = jax.random.split(self.key)
+        lm = level_mask(self._sched.enabled_levels, self.cfg.num_levels) \
+            if hasattr(self, "_sched") else None
+        self.state["grid"] = self._update_grid_fn(
+            self.state["params"], self.state["grid"], sub, lm)
+
+    def mark_untrained_grid(self, poses, intrinsics):
+        if not self.use_grid:
+            return
+        self.state["grid"] = mark_untrained(
+            self.state["grid"], self.grid_spec, jnp.asarray(poses), intrinsics)
+
+    # -- budget: static K from the running mean sample count ---------------
+
+    def sample_budget(self, sched: StepSchedule) -> int:
+        if self.opt.samples_budget > 0:
+            return self.opt.samples_budget
+        cap = sched.early_stop_steps if sched.early_stop_steps > 0 \
+            else min(sched.max_steps, 1024)
+        if self.mean_count <= 0:
+            est = cap
+        else:
+            est = int(self.mean_count * 1.5) + 8
+        k = 16
+        while k < min(est, cap):
+            k *= 2
+        return int(min(k, cap if cap >= 16 else 16, 1024))
+
+    def _build_train_step(self, sched: StepSchedule, K: int, num_rays: int,
+                          H: int, W: int, C: int, mode: str):
+        cfg = self.cfg
+        if sched.diffuse_only or cfg.diffuse_only:
+            cfg = dataclasses.replace(cfg, diffuse_only=True)
+        opt = self.opt
+        grid_spec = self.grid_spec
+        optimizer = self.optimizer
+        linear_space = opt.color_space == "linear"
+        aabb = jnp.asarray(
+            list(opt.marching_aabb) if len(opt.marching_aabb) == 6
+            else [-cfg.bound] * 3 + [cfg.bound] * 3, jnp.float32)
+        if len(opt.marching_aabb) == 6:
+            aabb = jnp.clip(aabb * opt.scale, -cfg.bound, cfg.bound)
+
+        if mode == "scene":
+            ropts = SceneRenderOptions(
+                max_steps=sched.max_steps, num_samples=K,
+                early_stop_steps=sched.early_stop_steps,
+                dt_gamma=opt.dt_gamma, T_thresh=opt.T_thresh,
+                min_near=opt.min_near, perturb=True, training=True,
+                with_loss_aux=(sched.flags.use_relsdf_loss
+                               or sched.flags.use_backsdf_loss
+                               or sched.flags.use_orientation_loss
+                               or sched.flags.use_dist_bound
+                               or sched.flags.use_entropy_loss),
+                cos_anneal_ratio=sched.cos_anneal_ratio,
+                use_bg_net=cfg.bg_radius > 0,
+                grid_size=grid_spec.grid_size)
+        else:
+            ropts = SphereRenderOptions(
+                num_step=opt.num_steps if opt.num_steps <= 64 else 12,
+                step_size=0.002, radius=opt.env_sph_radius,
+                perturb=True, training=True,
+                with_surf_sdf=sched.flags.use_sdf_loss,
+                with_backsdf=sched.flags.use_backsdf_loss)
+
+        lm = level_mask(sched.enabled_levels, cfg.num_levels)
+
+        def step(state, batch, key, weights):
+            params = state["params"]
+            k_rays, k_bg, k_perturb = jax.random.split(key, 3)
+
+            pose = batch["pose"][None]                          # [1, 4, 4]
+            rays = sampled_rays(k_rays, pose, batch["intrinsics"], H, W, num_rays)
+            rays_o = rays["rays_o"][0]
+            rays_d = rays["rays_d"][0]
+            pix = jnp.take(batch["image"], rays["inds"][0], axis=0)  # [N, C] uint8
+            pix = pix.astype(jnp.float32) / 255.0
+            if linear_space:
+                pix = pix.at[..., :3].set(srgb_to_linear(pix[..., :3]))
+
+            if C == 4 and cfg.bg_radius <= 0:
+                if opt.alpha_bg_mode == "white":
+                    bg = jnp.ones((num_rays, 3))
+                else:
+                    bg = jax.random.uniform(k_bg, (num_rays, 3))
+                gt_rgb = pix[..., :3] * pix[..., 3:] + bg * (1.0 - pix[..., 3:])
+                alpha_mask = pix[..., 3]
+            else:
+                bg = jnp.ones((num_rays, 3))
+                gt_rgb = pix[..., :3]
+                alpha_mask = None
+
+            def loss_fn(p):
+                if mode == "scene":
+                    out = render_scene(
+                        p, cfg, ropts, state["grid"].bitfield, rays_o, rays_d,
+                        bg, aabb, key=k_perturb, level_mask=lm,
+                        normal_anneal_ratio=sched.normal_anneal_ratio)
+                else:
+                    out = render_sphere(
+                        p, cfg, ropts, rays_o, rays_d, bg,
+                        material=batch.get("material"),
+                        env_index=batch.get("env_index", 0),
+                        r_images=batch.get("r_images"),
+                        key=k_perturb, level_mask=lm,
+                        normal_anneal_ratio=sched.normal_anneal_ratio)
+                from envidr_tpu.ops.density import laplace_beta
+                beta = laplace_beta(p["sdf_density"], sched.beta_min,
+                                    cfg.beta_max) if cfg.use_sdf and not cfg.use_neus_sdf else None
+                total, terms = compute_losses(
+                    out, gt_rgb, sched.flags, weights, beta=beta,
+                    alpha_mask=alpha_mask, roughness=out.get("roughness"))
+                return total, (out, terms)
+
+            (loss, (out, terms)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt = optimizer.update(grads, state["opt_state"], params)
+            new_params = optax.apply_updates(params, updates)
+            new_state = dict(state, params=new_params, opt_state=new_opt)
+            metrics = dict(terms, loss=loss)
+            if mode == "scene":
+                metrics["mean_count"] = jnp.mean(out["counts"].astype(jnp.float32))
+            return new_state, metrics
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _get_train_step(self, sched: StepSchedule, K, num_rays, H, W, C, mode):
+        sig = (hash(sched), K, num_rays, H, W, C, mode)
+        cache = getattr(self, "_step_cache", None)
+        if cache is None:
+            cache = self._step_cache = {}
+        if sig not in cache:
+            cache[sig] = self._build_train_step(sched, K, num_rays, H, W, C, mode)
+        return cache[sig]
+
+    # ---------------- epoch loops ----------------
+
+    def train_one_epoch(self, dataset, mode: str = "scene", log_every: int = 50):
+        opt = self.opt
+        self.epoch += 1
+        sched = resolve(opt, self.epoch, self.global_step)
+        self._sched = sched
+        K = self.sample_budget(sched) if mode == "scene" else 0
+        step_fn = self._get_train_step(
+            sched, K, sched.num_rays, dataset.H, dataset.W, dataset.C, mode)
+
+        rng = np.random.default_rng(opt.seed * 100003 + self.epoch)
+        order = dataset.epoch_order(rng)
+        images = dataset.device_images
+        poses = dataset.device_poses
+        intr = jnp.asarray(dataset.intrinsics, jnp.float32)
+
+        losses = []
+        t0 = time.time()
+        for i in order:
+            if (self.use_grid and sched.update_extra_interval > 0
+                    and self.global_step % sched.update_extra_interval == 0):
+                self.update_extra_state()
+            self.key, sub = jax.random.split(self.key)
+            batch = {"pose": poses[i], "image": images[i], "intrinsics": intr}
+            if mode == "sphere":
+                batch["env_index"] = dataset.env_indices[i]
+                batch["material"] = dataset.materials[i]
+            self.state, metrics = step_fn(self.state, batch, sub,
+                                          {k: jnp.asarray(v) for k, v in
+                                           sched.weights.items()})
+            losses.append(metrics)
+            if mode == "scene" and "mean_count" in metrics:
+                mc = float(metrics["mean_count"])
+                self.mean_count = mc if self.mean_count < 0 \
+                    else 0.9 * self.mean_count + 0.1 * mc
+            self.global_step += 1
+
+        # EMA after each epoch (utils.py:1252), decay 0.95 (main_nerf.py:163)
+        self.state["ema"] = jax.tree.map(
+            lambda e, p: 0.95 * e + 0.05 * p, self.state["ema"],
+            self.state["params"])
+
+        avg = {k: float(np.mean([float(m[k]) for m in losses]))
+               for k in losses[0]}
+        avg["time"] = time.time() - t0
+        avg["rays_per_sec"] = sched.num_rays * len(order) / avg["time"]
+        self.stats["loss"].append(avg["loss"])
+        return avg
+
+    # ---------------- evaluation ----------------
+
+    def render_image(self, pose, intrinsics, H, W, *, use_ema: bool = True,
+                     bg_color=1.0, env_rot_radian=None, mode: str = "scene",
+                     material=None, env_index=0):
+        params = self.state["ema"] if use_ema else self.state["params"]
+        chunk = self.opt.eval_ray_chunk
+        from envidr_tpu.geometry.rays import full_image_rays
+        rays_o, rays_d = full_image_rays(
+            jnp.asarray(pose)[None], intrinsics, H, W)
+        rays_o, rays_d = rays_o[0], rays_d[0]
+        outs = []
+        eval_fn = self._eval_fn(mode)
+        aabb = jnp.asarray([-self.cfg.bound] * 3 + [self.cfg.bound] * 3)
+        n = rays_o.shape[0]
+        pad = (-n) % chunk
+        if pad:
+            rays_o = jnp.concatenate([rays_o, jnp.zeros((pad, 3))])
+            rays_d = jnp.concatenate([rays_d, jnp.ones((pad, 3))])
+        for s in range(0, n + pad, chunk):
+            o_c, d_c = rays_o[s:s + chunk], rays_d[s:s + chunk]
+            outs.append(eval_fn(params, self.state["grid"].bitfield, o_c, d_c,
+                                jnp.asarray(bg_color, jnp.float32), aabb,
+                                material, env_index))
+        res = {}
+        for k in outs[0]:
+            if outs[0][k] is None:
+                continue
+            v = jnp.concatenate([o[k] for o in outs], axis=0)[:n]
+            res[k] = v
+        return {k: np.asarray(v).reshape((H, W) + v.shape[1:]) for k, v in res.items()}
+
+    @functools.lru_cache(maxsize=4)
+    def _eval_fn(self, mode: str):
+        cfg = self.cfg
+        opt = self.opt
+        if mode == "scene":
+            ropts = SceneRenderOptions(
+                max_steps=opt.max_steps, num_samples=opt.eval_samples_budget,
+                early_stop_steps=opt.early_stop_steps, dt_gamma=opt.dt_gamma,
+                T_thresh=opt.T_thresh, min_near=opt.min_near,
+                use_bg_net=cfg.bg_radius > 0,
+                grid_size=self.grid_spec.grid_size)
+
+            @jax.jit
+            def fn(params, bitfield, rays_o, rays_d, bg, aabb, material, env_index):
+                out = render_scene(params, cfg, ropts, bitfield, rays_o, rays_d,
+                                   bg, aabb)
+                keep = ("image", "depth", "weights_sum", "normal_image",
+                        "diffuse_image", "specular_image", "roughness_image")
+                return {k: out.get(k) for k in keep if k in out}
+        else:
+            ropts = SphereRenderOptions(radius=opt.env_sph_radius)
+
+            @jax.jit
+            def fn(params, bitfield, rays_o, rays_d, bg, aabb, material, env_index):
+                out = render_sphere(params, cfg, ropts, rays_o, rays_d, bg,
+                                    material=material, env_index=env_index)
+                keep = ("image", "depth", "weights_sum", "normal_image",
+                        "diffuse_image", "specular_image", "roughness_image")
+                return {k: out.get(k) for k in keep if k in out}
+        return fn
+
+    def evaluate(self, dataset, *, max_images: int = 8, mode: str = "scene",
+                 use_ema: bool = True):
+        meter = PSNRMeter()
+        n = min(len(dataset), max_images)
+        for i in range(n):
+            res = self.render_image(
+                dataset.poses[i], dataset.intrinsics, dataset.H, dataset.W,
+                mode=mode, use_ema=use_ema,
+                material=getattr(dataset, "materials", [None] * len(dataset))[i],
+                env_index=getattr(dataset, "env_indices", np.zeros(len(dataset)))[i])
+            gt = dataset.images[i].astype(np.float32) / 255.0
+            if gt.shape[-1] == 4:
+                gt = gt[..., :3] * gt[..., 3:] + (1.0 - gt[..., 3:])
+            pred = res["image"]
+            if self.opt.color_space == "linear":
+                from envidr_tpu.geometry.rays import linear_to_srgb
+                pred = np.asarray(linear_to_srgb(jnp.asarray(pred)))
+            meter.update(np.clip(pred, 0, 1), gt)
+        return meter.measure()
+
+    # ---------------- checkpoints ----------------
+
+    def save_checkpoint(self, name: Optional[str] = None, full: bool = True):
+        name = name or f"ep{self.epoch:04d}"
+        payload = {
+            "epoch": self.epoch,
+            "global_step": self.global_step,
+            "mean_count": self.mean_count,
+            "stats": self.stats,
+            "params": jax.tree.map(np.asarray, self.state["params"]),
+            "ema": jax.tree.map(np.asarray, self.state["ema"]),
+            "grid": jax.tree.map(np.asarray, tuple(self.state["grid"])),
+        }
+        if full:
+            payload["opt_state"] = jax.tree.map(
+                lambda x: np.asarray(x) if isinstance(x, jnp.ndarray) else x,
+                self.state["opt_state"])
+        path = os.path.join(self.workspace, "checkpoints", f"{name}.ckpt")
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+        self.stats["ckpts"].append(path)
+        # rolling window (utils.py:1518-1531)
+        while len(self.stats["ckpts"]) > self.opt.max_keep_ckpt:
+            old = self.stats["ckpts"].pop(0)
+            if os.path.exists(old):
+                os.remove(old)
+        return path
+
+    def load_checkpoint(self, path: Optional[str] = None):
+        if path is None or path == "latest":
+            ckpt_dir = os.path.join(self.workspace, "checkpoints")
+            cands = sorted(os.listdir(ckpt_dir)) if os.path.isdir(ckpt_dir) else []
+            if not cands:
+                print("[trainer] no checkpoint found, starting fresh")
+                return False
+            path = os.path.join(ckpt_dir, cands[-1])
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        self.epoch = payload["epoch"]
+        self.global_step = payload["global_step"]
+        self.mean_count = payload.get("mean_count", -1.0)
+        self.stats = payload.get("stats", self.stats)
+        self.state["params"] = jax.tree.map(jnp.asarray, payload["params"])
+        self.state["ema"] = jax.tree.map(jnp.asarray, payload["ema"])
+        self.state["grid"] = OccupancyGrid(
+            *[jnp.asarray(x) for x in payload["grid"]])
+        if "opt_state" in payload:
+            try:
+                self.state["opt_state"] = jax.tree.map(
+                    lambda tgt, src: jnp.asarray(src) if hasattr(src, "shape") else src,
+                    self.state["opt_state"], payload["opt_state"])
+            except Exception as e:  # shape mismatch -> reinit (utils.py:1633-1666)
+                print(f"[trainer] optimizer state mismatch, reinit: {e}")
+        print(f"[trainer] loaded {path} (epoch {self.epoch})")
+        return True

@@ -147,3 +147,49 @@ def test_world_coords_and_smoothstep_continuity():
     assert np.isfinite(np.asarray(dy)).all()
     world = hash_encode_from_world(pts * 2 - 1, params["embeddings"], spec, bound=1.0)
     np.testing.assert_allclose(world, y, atol=1e-6)
+
+
+def test_rolled_tiled_dense_levels_match_hash():
+    """Dense levels (res^3 <= table) are numerically identical between the
+    reference-exact 'hash' indexing and the TPU 'rolled_tiled' mode."""
+    import dataclasses
+    spec_h = HashGridSpec(num_levels=6, level_dim=2, base_resolution=4,
+                          desired_resolution=32, log2_hashmap_size=16,
+                          indexing="hash")
+    # all levels dense here (32^3 = 32768 < 2^16)
+    spec_r = dataclasses.replace(spec_h, indexing="rolled_tiled")
+    key = jax.random.PRNGKey(0)
+    params = init_hash_params(key, spec_h, std=0.5)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0.01, 0.99, (128, 3)),
+                    jnp.float32)
+    out_h = hash_encode(x, params["embeddings"], spec_h)
+    out_r = hash_encode(x, params["embeddings"], spec_r)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_h), atol=1e-6)
+
+
+def test_rolled_tiled_gradients():
+    spec = HashGridSpec(num_levels=8, level_dim=2, base_resolution=4,
+                        desired_resolution=128, log2_hashmap_size=10,
+                        indexing="rolled_tiled")
+    params = init_hash_params(jax.random.PRNGKey(1), spec, std=0.5)
+    x = jnp.asarray(np.random.default_rng(1).uniform(0.01, 0.99, (16, 3)),
+                    jnp.float32)
+
+    def loss(e, p):
+        return jnp.sum(jnp.sin(hash_encode(p, e, spec)))
+
+    ge = jax.grad(loss, argnums=0)(params["embeddings"], x)
+    gx = jax.grad(loss, argnums=1)(params["embeddings"], x)
+    eps = 1e-3
+    i = int(np.argmax(np.abs(np.asarray(ge)).sum(-1)))
+    fd = (loss(params["embeddings"].at[i, 0].add(eps), x)
+          - loss(params["embeddings"].at[i, 0].add(-eps), x)) / (2 * eps)
+    np.testing.assert_allclose(ge[i, 0], fd, rtol=2e-2, atol=1e-4)
+    eps = 1e-4
+    fd = (loss(params["embeddings"], x.at[3, 1].add(eps))
+          - loss(params["embeddings"], x.at[3, 1].add(-eps))) / (2 * eps)
+    np.testing.assert_allclose(gx[3, 1], fd, rtol=5e-2, atol=1e-3)
+    # double backward exists and is finite
+    gg = jax.grad(lambda e: jnp.sum(jax.grad(loss, argnums=1)(e, x) ** 2))(
+        params["embeddings"])
+    assert np.isfinite(np.asarray(gg)).all()

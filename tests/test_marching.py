@@ -1,0 +1,145 @@
+"""Ray marching vs a numpy oracle that mimics the CUDA DDA walk, grid ops."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from envidr_tpu.ops.grid import (
+    GridSpec, OccupancyGrid, init_grid, update_grid, mark_untrained,
+    morton3d, morton3d_invert, cell_index, packbits,
+)
+from envidr_tpu.ops.marching import march_rays, SQRT3
+
+
+def oracle_march(o, d, near, far, occ3d, bound, dt_gamma, max_steps, k_cap):
+    """Single-cascade replica of kernel_march_rays_train's sampling loop
+    (raymarching.cu:341-509) WITHOUT voxel skipping — steps every dt, keeps
+    occupied samples.  Same sample set as the DDA version by construction."""
+    H = occ3d.shape[0]
+    dt_min = 2 * SQRT3 / max_steps
+    dt_max = 2 * SQRT3 / H
+    t = near
+    samples = []
+    while t < far and len(samples) < k_cap:
+        x = np.clip(o + t * d, -bound, bound)
+        dt = np.clip(t * dt_gamma, dt_min, dt_max)
+        cell = np.clip((0.5 * (x / bound + 1) * H).astype(int), 0, H - 1)
+        if occ3d[tuple(cell)]:
+            samples.append((t, dt))
+        t += dt
+    return samples
+
+
+def _random_grid(seed=0, H=32, p=0.15):
+    rng = np.random.default_rng(seed)
+    occ3d = rng.uniform(size=(H, H, H)) < p
+    return occ3d
+
+
+def test_march_matches_oracle_uniform_dt():
+    H = 32
+    occ3d = _random_grid(H=H)
+    bitfield = jnp.asarray(occ3d.reshape(1, -1))
+    rng = np.random.default_rng(1)
+    N = 16
+    o = np.tile([[0.0, 0.0, -3.0]], (N, 1)).astype(np.float32)
+    tgt = rng.uniform(-0.8, 0.8, (N, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    near = np.full(N, 2.0, np.float32)
+    far = np.full(N, 4.2, np.float32)
+
+    K, T = 64, 256
+    res = march_rays(jnp.asarray(o), jnp.asarray(d), jnp.asarray(near),
+                     jnp.asarray(far), bitfield, bound=1.0, grid_size=H,
+                     dt_gamma=0.0, max_steps=T, num_samples=K)
+    for n in range(N):
+        want = oracle_march(o[n], d[n], near[n], far[n], occ3d, 1.0, 0.0, T, K)
+        cnt = int(res.counts[n])
+        assert cnt == len(want), (n, cnt, len(want))
+        for k, (t_w, dt_w) in enumerate(want):
+            np.testing.assert_allclose(float(res.ts[n, k]), t_w, atol=1e-4)
+            np.testing.assert_allclose(float(res.dts[n, k]), dt_w, atol=1e-6)
+        assert not bool(res.mask[n, cnt:].any())
+        # z_vals accumulate to t + dt - near
+        if cnt:
+            np.testing.assert_allclose(
+                np.asarray(res.z_vals[n, :cnt]),
+                np.asarray([t + dt - near[n] for t, dt in want]), atol=1e-4)
+
+
+def test_march_matches_oracle_cone_stepping():
+    H = 32
+    occ3d = _random_grid(seed=3, H=H, p=0.3)
+    bitfield = jnp.asarray(occ3d.reshape(1, -1))
+    o = np.asarray([[0.0, 0.1, -3.0]], np.float32)
+    d = np.asarray([[0.05, -0.1, 1.0]], np.float32)
+    d /= np.linalg.norm(d)
+    near, far = np.asarray([2.0], np.float32), np.asarray([4.2], np.float32)
+    res = march_rays(jnp.asarray(o), jnp.asarray(d), jnp.asarray(near),
+                     jnp.asarray(far), bitfield, bound=1.0, grid_size=H,
+                     dt_gamma=1 / 128, max_steps=512, num_samples=64)
+    want = oracle_march(o[0], d[0], near[0], far[0], occ3d, 1.0, 1 / 128, 512, 64)
+    assert int(res.counts[0]) == len(want)
+    for k, (t_w, dt_w) in enumerate(want):
+        np.testing.assert_allclose(float(res.ts[0, k]), t_w, rtol=1e-4)
+
+
+def test_march_respects_early_stop_and_budget():
+    H = 16
+    occ3d = np.ones((H, H, H), bool)
+    bitfield = jnp.asarray(occ3d.reshape(1, -1))
+    o = jnp.asarray([[0.0, 0.0, -3.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    res = march_rays(o, d, jnp.asarray([2.0]), jnp.asarray([4.0]), bitfield,
+                     bound=1.0, grid_size=H, max_steps=512, num_samples=128,
+                     early_stop_steps=17)
+    assert int(res.counts[0]) == 17
+
+
+def test_update_grid_and_threshold():
+    spec = GridSpec(grid_size=16, bound=1.0, density_thresh=0.01)
+    grid = init_grid(spec)
+
+    def density_fn(x):  # a ball of density at origin
+        return 10.0 * (jnp.linalg.norm(x, axis=-1) < 0.5)
+
+    g1 = update_grid(grid, spec, density_fn, jax.random.PRNGKey(0))
+    assert float(g1.mean_density) > 0
+    occ = np.asarray(g1.bitfield[0]).reshape(16, 16, 16)
+    assert occ[8, 8, 8] and not occ[0, 0, 0]
+    # EMA decay: empty fn decays occupied densities
+    g2 = update_grid(g1, spec, lambda x: jnp.zeros(x.shape[0]),
+                     jax.random.PRNGKey(1))
+    assert float(g2.density.max()) <= float(g1.density.max()) * 0.95 + 1e-6
+
+
+def test_mark_untrained_blocks_unseen_cells():
+    spec = GridSpec(grid_size=16, bound=1.0)
+    grid = init_grid(spec)
+    # single camera at z=-4 looking +z with narrow fov
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -4.0
+    g = mark_untrained(grid, spec, jnp.asarray(pose)[None],
+                       (800.0, 800.0, 16.0, 16.0))
+    d = np.asarray(g.density[0])
+    assert (d == -1).any() and (d == 0).any()
+    # untrained cells never revive through updates
+    g2 = update_grid(g, spec, lambda x: jnp.full(x.shape[0], 5.0),
+                     jax.random.PRNGKey(0))
+    d2 = np.asarray(g2.density[0])
+    assert ((d == -1) == (d2 == -1)).all()
+    assert not np.asarray(g2.bitfield[0])[d == -1].any()
+
+
+def test_morton_roundtrip_and_packbits():
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.integers(0, 128, (64, 3)), jnp.int32)
+    codes = morton3d(c)
+    back = morton3d_invert(codes)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(c))
+    dens = jnp.asarray(rng.uniform(0, 1, (1, 16**3)), jnp.float32)
+    bits = packbits(dens, 0.5)
+    assert bits.shape == (16**3 // 8,)
+    want0 = sum(int(dens[0, i] > 0.5) << i for i in range(8))
+    assert int(bits[0]) == want0

@@ -1,0 +1,112 @@
+"""Generate a procedural nerf-synthetic-format dataset (analytic ray tracer).
+
+The reference repo ships no scene data (toaster etc. must be downloaded), so
+end-to-end training validation and benchmarks use this self-contained scene:
+three lambertian-shaded spheres on transparent background, rendered by exact
+ray-sphere intersection — a ground truth with known geometry.
+
+Usage: python tools/gen_synth_scene.py [out_dir] [--size 400] [--n-train 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+SPHERES = [  # center, radius, albedo
+    (np.array([0.0, 0.0, 0.0]), 0.42, np.array([0.85, 0.25, 0.2])),
+    (np.array([0.45, 0.25, -0.1]), 0.22, np.array([0.2, 0.55, 0.9])),
+    (np.array([-0.4, -0.3, 0.25]), 0.18, np.array([0.95, 0.8, 0.25])),
+]
+LIGHT_DIR = np.array([0.5, 0.6, -0.62])
+LIGHT_DIR = LIGHT_DIR / np.linalg.norm(LIGHT_DIR)
+
+
+def pose_spherical(theta, phi, radius=3.0):
+    trans = np.eye(4)
+    trans[2, 3] = radius
+    rp = np.eye(4)
+    c, s = np.cos(phi), np.sin(phi)
+    rp[1:3, 1:3] = [[c, -s], [s, c]]
+    rt = np.eye(4)
+    c, s = np.cos(theta), np.sin(theta)
+    rt[0, 0], rt[0, 2], rt[2, 0], rt[2, 2] = c, -s, s, c
+    c2w = np.array([[-1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1.0]]) \
+        @ rt @ rp @ trans
+    return c2w
+
+
+def render(c2w, H, W, focal):
+    i, j = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+    dirs = np.stack([(i - W / 2) / focal, -(j - H / 2) / focal,
+                     -np.ones_like(i)], -1)          # OpenGL camera (-z fwd)
+    dirs = dirs @ c2w[:3, :3].T
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    o = c2w[:3, 3]
+
+    best_t = np.full((H, W), np.inf)
+    rgb = np.zeros((H, W, 3))
+    hit = np.zeros((H, W), bool)
+    for center, radius, albedo in SPHERES:
+        oc = o - center
+        b = np.sum(dirs * oc, -1)
+        c = np.dot(oc, oc) - radius**2
+        disc = b * b - c
+        m = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0))
+        m &= (t > 0) & (t < best_t)
+        p = o + dirs * t[..., None]
+        n = (p - center) / radius
+        shade = 0.25 + 0.75 * np.clip(np.sum(n * LIGHT_DIR, -1), 0, 1)
+        col = albedo[None, None] * shade[..., None]
+        rgb = np.where(m[..., None], col, rgb)
+        best_t = np.where(m, t, best_t)
+        hit |= m
+    img = np.concatenate([rgb, hit[..., None].astype(float)], -1)
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
+def write_split(out, split, n, size, focal, seed):
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(out, split), exist_ok=True)
+    frames = []
+    try:
+        import imageio.v2 as imageio
+        save = imageio.imwrite
+    except ImportError:
+        from PIL import Image
+        save = lambda p, a: Image.fromarray(a).save(p)
+    for k in range(n):
+        theta = rng.uniform(0, 2 * np.pi)
+        phi = rng.uniform(-0.5 * np.pi, 0.1)
+        c2w = pose_spherical(theta, phi)
+        img = render(c2w, size, size, focal)
+        fp = f"{split}/r_{k}.png"
+        save(os.path.join(out, fp), img)
+        frames.append({"file_path": fp, "transform_matrix": c2w.tolist()})
+    camera_angle_x = 2 * np.arctan(size / (2 * focal))
+    with open(os.path.join(out, f"transforms_{split}.json"), "w") as f:
+        json.dump({"camera_angle_x": camera_angle_x, "frames": frames}, f)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("out", nargs="?", default="data/synth_spheres")
+    p.add_argument("--size", type=int, default=400)
+    p.add_argument("--n-train", type=int, default=50)
+    p.add_argument("--n-val", type=int, default=5)
+    p.add_argument("--n-test", type=int, default=5)
+    args = p.parse_args()
+    focal = args.size * 1.25
+    write_split(args.out, "train", args.n_train, args.size, focal, 0)
+    write_split(args.out, "val", args.n_val, args.size, focal, 1)
+    write_split(args.out, "test", args.n_test, args.size, focal, 2)
+    print(f"wrote {args.out}: {args.n_train}/{args.n_val}/{args.n_test} frames "
+          f"@{args.size}px")
+
+
+if __name__ == "__main__":
+    main()
