@@ -1,0 +1,88 @@
+"""Benchmark: training throughput (rays/s, fwd+bwd) of the flagship scene model.
+
+Prints ONE JSON line:  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no throughput numbers (BASELINE.md) — the baseline is
+our own round-1 measurement on one TPU v5e chip (5_000 rays/s), so
+``vs_baseline`` tracks our improvement across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_RAYS_PER_SEC = 5_000.0  # round-1 measured, 1x TPU v5e chip
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import envidr_tpu
+    envidr_tpu.enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from envidr_tpu.config import load_options, network_config
+    from envidr_tpu.train.trainer import Trainer
+    from envidr_tpu.train.schedules import resolve
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    data_dir = os.path.join(root, "data", "synth_spheres")
+    if not os.path.exists(os.path.join(data_dir, "transforms_train.json")):
+        import subprocess
+        subprocess.run([sys.executable, os.path.join(root, "tools", "gen_synth_scene.py"),
+                        data_dir, "--size", "400", "--n-train", "50"], check=True)
+
+    opt = load_options(os.path.join(root, "configs", "synth_spheres.ini"),
+                       path=data_dir, workspace="/tmp/envidr_bench")
+    cfg = network_config(opt)
+    trainer = Trainer(opt, cfg)
+
+    from envidr_tpu.data.nerf_dataset import NeRFDataset
+    ds = NeRFDataset(opt.path, "train", scale=opt.scale)
+    sched = resolve(opt, 1, 0)
+    trainer._sched = sched
+    K = trainer.sample_budget(sched)
+    step_fn = trainer._get_train_step(sched, K, sched.num_rays, ds.H, ds.W,
+                                      ds.C, "scene")
+    trainer.update_extra_state()
+
+    imgs, poses = ds.device_images, ds.device_poses
+    intr = jnp.asarray(ds.intrinsics, jnp.float32)
+    weights = {k: jnp.asarray(v) for k, v in sched.weights.items()}
+    key = jax.random.PRNGKey(0)
+
+    def one_step(i):
+        nonlocal key
+        key, sub = jax.random.split(key)
+        batch = {"pose": poses[i % len(ds)], "image": imgs[i % len(ds)],
+                 "intrinsics": intr}
+        trainer.state, m = step_fn(trainer.state, batch, sub, weights)
+        return m
+
+    # warmup (includes compile)
+    for i in range(3):
+        m = one_step(i)
+    float(m["loss"])
+
+    n_steps = 20
+    t0 = time.time()
+    for i in range(n_steps):
+        m = one_step(3 + i)
+    float(m["loss"])  # sync
+    dt = time.time() - t0
+
+    rays_per_sec = sched.num_rays * n_steps / dt
+    print(json.dumps({
+        "metric": "train_rays_per_sec_fwd_bwd",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -18,3 +18,13 @@ def enable_compilation_cache(path: str = "~/.cache/envidr_jax"):
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         pass
+
+
+def apply_device_env():
+    """Honor ENVIDR_DEVICE=cpu — needed because the environment's
+    sitecustomize pre-pins jax to the (single-tenant) TPU tunnel, so apps that
+    should not contend with a running training job can opt onto CPU."""
+    if os.environ.get("ENVIDR_DEVICE") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")

@@ -34,6 +34,8 @@ def build_argparser():
     p.add_argument("--downscale", type=int, default=1)
     p.add_argument("--save-mesh", action="store_true")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest workspace checkpoint")
     return p
 
 
@@ -51,6 +53,7 @@ def main(argv=None):
     opt = load_options(args.config, **overrides)
 
     import envidr_tpu
+    envidr_tpu.apply_device_env()
     envidr_tpu.enable_compilation_cache()
     import jax
     from envidr_tpu.data.nerf_dataset import NeRFDataset
@@ -75,12 +78,19 @@ def main(argv=None):
         trainer.load_checkpoint(args.ckpt)
         trainer.swap_env_net(args.swap_env, split_diffuse=opt.split_diffuse_env)
 
+    def make_dataset(split, test_skip=1):
+        if opt.env_sph_mode or opt.render_env_on_sphere:
+            from envidr_tpu.data.env_dataset import EnvSphereDataset
+            return EnvSphereDataset(opt.path, split, scale=opt.scale,
+                                    offset=opt.offset,
+                                    with_renv=opt.train_renv)
+        return NeRFDataset(opt.path, split, scale=opt.scale, offset=opt.offset,
+                           downscale=args.downscale, test_skip=test_skip)
+
     if args.test:
         if not args.swap_env:
             trainer.load_checkpoint(args.ckpt)
-        test_set = NeRFDataset(opt.path, opt.test_split, scale=opt.scale,
-                               offset=opt.offset, downscale=args.downscale,
-                               test_skip=opt.test_skip)
+        test_set = make_dataset(opt.test_split, opt.test_skip)
         trainer.update_extra_state()
         psnr = trainer.evaluate(test_set, mode=mode, max_images=len(test_set))
         log(f"[test] PSNR = {psnr:.3f}")
@@ -91,23 +101,24 @@ def main(argv=None):
         _save_images(res, outdir, "test_0", opt)
         return psnr
 
-    train_set = NeRFDataset(opt.path, "train", scale=opt.scale,
-                            offset=opt.offset, downscale=args.downscale)
+    train_set = make_dataset("train")
     try:
-        val_set = NeRFDataset(opt.path, "val", scale=opt.scale,
-                              offset=opt.offset, downscale=args.downscale)
+        val_set = make_dataset("val")
     except FileNotFoundError:
         val_set = train_set
 
+    if args.resume:
+        trainer.load_checkpoint(args.ckpt)
     max_epochs = args.max_epochs
     if max_epochs is None:
         max_epochs = int(np.ceil(opt.iters / max(len(train_set), 1)))
     log(f"[train] {len(train_set)} images, {max_epochs} epochs, mode={mode}, "
         f"devices={jax.devices()}")
 
-    trainer.mark_untrained_grid(train_set.poses, train_set.intrinsics)
+    if not opt.env_sph_mode:
+        trainer.mark_untrained_grid(train_set.poses, train_set.intrinsics)
     best = -1.0
-    for ep in range(max_epochs):
+    for ep in range(trainer.epoch, max_epochs):
         stats = trainer.train_one_epoch(train_set, mode=mode)
         log(f"[ep {trainer.epoch:4d}] loss={stats['loss']:.5f} "
             f"color={stats.get('color', 0):.5f} "
@@ -131,6 +142,12 @@ def main(argv=None):
     if args.save_mesh:
         from envidr_tpu.apps.mesh_extract import save_mesh
         save_mesh(trainer, os.path.join(opt.workspace, "mesh.obj"))
+    if opt.env_sph_mode and "env_nets" in trainer.state["ema"]:
+        # post-train relighting export (main_nerf.py:194-198)
+        from envidr_tpu.io.torch_export import extract_env_ckpts
+        paths = extract_env_ckpts(trainer.state["ema"],
+                                  os.path.join(opt.workspace, "env_ckpts"))
+        log(f"[export] {len(paths)} env ckpts -> {opt.workspace}/env_ckpts")
     log(f"[done] best PSNR = {best:.3f}")
     return best
 

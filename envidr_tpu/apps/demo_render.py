@@ -66,6 +66,8 @@ def render(nets, pose, intrinsics, material_vec, H: int, W: int):
 
 
 def main(argv=None):
+    import envidr_tpu
+    envidr_tpu.apply_device_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt-dir", default="/root/reference/demo")
     p.add_argument("--theta", type=float, default=123.0)

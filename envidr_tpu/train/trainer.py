@@ -109,9 +109,10 @@ def make_optimizer(params: dict, opt: Options) -> optax.GradientTransformation:
 class Trainer:
     def __init__(self, opt: Options, cfg: NetworkConfig, *,
                  params: Optional[dict] = None, seed: Optional[int] = None,
-                 workspace: Optional[str] = None):
+                 workspace: Optional[str] = None, mesh=None):
         self.opt = opt
         self.cfg = cfg
+        self.mesh = mesh  # jax.sharding.Mesh for ray-parallel training
         self.workspace = workspace or opt.workspace
         os.makedirs(os.path.join(self.workspace, "checkpoints"), exist_ok=True)
 
@@ -134,6 +135,9 @@ class Trainer:
             opt_state=self.optimizer.init(params),
             grid=init_grid(self.grid_spec),
         )
+        if mesh is not None:
+            from envidr_tpu.parallel.mesh import replicate_tree
+            self.state = replicate_tree(mesh, self.state)
         self.epoch = 0
         self.global_step = 0
         self.mean_count = -1.0
@@ -224,6 +228,7 @@ class Trainer:
     def _build_train_step(self, sched: StepSchedule, K: int, num_rays: int,
                           H: int, W: int, C: int, mode: str):
         cfg = self.cfg
+        mesh = self.mesh
         if sched.diffuse_only or cfg.diffuse_only:
             cfg = dataclasses.replace(cfg, diffuse_only=True)
         opt = self.opt
@@ -252,11 +257,11 @@ class Trainer:
                 grid_size=grid_spec.grid_size)
         else:
             ropts = SphereRenderOptions(
-                num_step=opt.num_steps if opt.num_steps <= 64 else 12,
-                step_size=0.002, radius=opt.env_sph_radius,
+                num_step=12, step_size=0.002, radius=opt.env_sph_radius,
                 perturb=True, training=True,
                 with_surf_sdf=sched.flags.use_sdf_loss,
-                with_backsdf=sched.flags.use_backsdf_loss)
+                with_backsdf=sched.flags.use_backsdf_loss
+                or sched.flags.use_eikonal_loss)
 
         lm = level_mask(sched.enabled_levels, cfg.num_levels)
 
@@ -270,9 +275,18 @@ class Trainer:
             rays_d = rays["rays_d"][0]
             pix = jnp.take(batch["image"], rays["inds"][0], axis=0)  # [N, C] uint8
             pix = pix.astype(jnp.float32) / 255.0
+            if mesh is not None:
+                from envidr_tpu.parallel.mesh import shard_rays
+                rays_o, rays_d, pix = shard_rays(mesh, rays_o, rays_d, pix)
             if linear_space:
                 pix = pix.at[..., :3].set(srgb_to_linear(pix[..., :3]))
 
+            r_pix = None
+            if "r_images" in batch and batch["r_images"] is not None:
+                r_pix = jnp.take(batch["r_images"], rays["inds"][0], axis=0)
+                r_pix = r_pix.astype(jnp.float32) / 255.0
+                if linear_space:
+                    r_pix = r_pix.at[..., :3].set(srgb_to_linear(r_pix[..., :3]))
             if C == 4 and cfg.bg_radius <= 0:
                 if opt.alpha_bg_mode == "white":
                     bg = jnp.ones((num_rays, 3))
@@ -286,7 +300,24 @@ class Trainer:
                 alpha_mask = None
 
             def loss_fn(p):
-                if mode == "scene":
+                if mode == "scene" and sched.indir_ref:
+                    from envidr_tpu.render.indirect import (
+                        IndirectOptions, render_scene_indirect)
+                    iopts = IndirectOptions(
+                        indir_max_steps=opt.indir_max_steps,
+                        indir_early_stop_steps=opt.indir_early_stop_steps,
+                        indir_num_samples=min(
+                            K, max(opt.indir_early_stop_steps, 16)),
+                        grad_rays=sched.grad_rays,
+                        grad_rays_scale=opt.grad_rays_scale)
+                    obj_aabb = (jnp.asarray(opt.obj_aabb, jnp.float32)
+                                * opt.scale if opt.obj_aabb else None)
+                    out = render_scene_indirect(
+                        p, cfg, ropts, iopts, state["grid"].bitfield, rays_o,
+                        rays_d, bg, aabb, key=k_perturb, obj_aabb=obj_aabb,
+                        level_mask=lm,
+                        normal_anneal_ratio=sched.normal_anneal_ratio)
+                elif mode == "scene":
                     out = render_scene(
                         p, cfg, ropts, state["grid"].bitfield, rays_o, rays_d,
                         bg, aabb, key=k_perturb, level_mask=lm,
@@ -296,7 +327,7 @@ class Trainer:
                         p, cfg, ropts, rays_o, rays_d, bg,
                         material=batch.get("material"),
                         env_index=batch.get("env_index", 0),
-                        r_images=batch.get("r_images"),
+                        r_images=r_pix,
                         key=k_perturb, level_mask=lm,
                         normal_anneal_ratio=sched.normal_anneal_ratio)
                 from envidr_tpu.ops.density import laplace_beta
@@ -356,6 +387,9 @@ class Trainer:
             if mode == "sphere":
                 batch["env_index"] = dataset.env_indices[i]
                 batch["material"] = dataset.materials[i]
+                r_all = getattr(dataset, "device_r_images", None)
+                if r_all is not None:
+                    batch["r_images"] = r_all[i]
             self.state, metrics = step_fn(self.state, batch, sub,
                                           {k: jnp.asarray(v) for k, v in
                                            sched.weights.items()})
@@ -397,11 +431,13 @@ class Trainer:
         if pad:
             rays_o = jnp.concatenate([rays_o, jnp.zeros((pad, 3))])
             rays_d = jnp.concatenate([rays_d, jnp.ones((pad, 3))])
+        rot = (jnp.asarray(env_rot_radian, jnp.float32)
+               if env_rot_radian is not None else None)
         for s in range(0, n + pad, chunk):
             o_c, d_c = rays_o[s:s + chunk], rays_d[s:s + chunk]
             outs.append(eval_fn(params, self.state["grid"].bitfield, o_c, d_c,
                                 jnp.asarray(bg_color, jnp.float32), aabb,
-                                material, env_index))
+                                material, env_index, rot))
         res = {}
         for k in outs[0]:
             if outs[0][k] is None:
@@ -423,9 +459,10 @@ class Trainer:
                 grid_size=self.grid_spec.grid_size)
 
             @jax.jit
-            def fn(params, bitfield, rays_o, rays_d, bg, aabb, material, env_index):
+            def fn(params, bitfield, rays_o, rays_d, bg, aabb, material,
+                   env_index, env_rot=None):
                 out = render_scene(params, cfg, ropts, bitfield, rays_o, rays_d,
-                                   bg, aabb)
+                                   bg, aabb, env_rot_radian=env_rot)
                 keep = ("image", "depth", "weights_sum", "normal_image",
                         "diffuse_image", "specular_image", "roughness_image")
                 return {k: out.get(k) for k in keep if k in out}
@@ -433,9 +470,11 @@ class Trainer:
             ropts = SphereRenderOptions(radius=opt.env_sph_radius)
 
             @jax.jit
-            def fn(params, bitfield, rays_o, rays_d, bg, aabb, material, env_index):
+            def fn(params, bitfield, rays_o, rays_d, bg, aabb, material,
+                   env_index, env_rot=None):
                 out = render_sphere(params, cfg, ropts, rays_o, rays_d, bg,
-                                    material=material, env_index=env_index)
+                                    material=material, env_index=env_index,
+                                    env_rot_radian=env_rot)
                 keep = ("image", "depth", "weights_sum", "normal_image",
                         "diffuse_image", "specular_image", "roughness_image")
                 return {k: out.get(k) for k in keep if k in out}
