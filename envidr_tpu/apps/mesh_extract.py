@@ -39,13 +39,22 @@ _CASES = {
 }
 
 
-def marching_tets(field: np.ndarray, iso: float = 0.0):
+def marching_tets(field: np.ndarray, iso: float = 0.0,
+                  use_native: bool = True):
     """field: [R, R, R] scalar; returns (verts [V,3] in voxel coords, faces [F,3]).
 
     Triangles are oriented so normals point toward decreasing field (outward
     for an SDF where inside < 0 ... the reference runs marching cubes on -sdf,
     utils.py:907-910; pass -sdf here for the same orientation).
+
+    Uses the C++ core (envidr_tpu/native/mtets.cpp) when buildable; the numpy
+    path below is the reference implementation and fallback.
     """
+    if use_native:
+        from envidr_tpu.native import marching_tets_native
+        res = marching_tets_native(np.asarray(field, np.float32) - iso, 0.0)
+        if res is not None:
+            return res
     R = field.shape[0]
     g = np.stack(np.meshgrid(np.arange(R - 1), np.arange(R - 1),
                              np.arange(R - 1), indexing="ij"), -1).reshape(-1, 3)

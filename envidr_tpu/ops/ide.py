@@ -88,7 +88,9 @@ def ide_encode(xyz: jnp.ndarray, roughness=0.0, *, deg_view: int = 4) -> jnp.nda
     x = xyz[..., 0:1]
     y = xyz[..., 1:2]
     z = xyz[..., 2:3]
-    # Reference guards 0+0j exponentiation by nudging y (ide_encoder.py:114-115).
+    # Parity quirk: at exactly x=y=0 the reference nudges y to 1 to dodge
+    # 0^0j (ide_encoder.py:114-115), making the +-z outputs i^m instead of 0.
+    # Reproduced so shipped-checkpoint renders match bit-for-bit.
     zero_xy = jnp.logical_and(x == 0, y == 0)
     y = y + zero_xy.astype(dtype)
 
@@ -97,21 +99,32 @@ def ide_encode(xyz: jnp.ndarray, roughness=0.0, *, deg_view: int = 4) -> jnp.nda
     vmz = z ** pow_level                                   # [..., l_max+1]
     z_component = vmz @ mat_j                              # [..., P]
 
-    # (x + iy)^m via Euler: r^m (cos(m·theta) + i sin(m·theta)).
-    r_sq = x**2 + y**2
-    vmxy_r = r_sq ** (m_arr / 2.0)                         # [..., P]
-    theta = jnp.arctan2(y, x) * m_arr                      # [..., P]
+    # (x + iy)^m by repeated complex multiplication — POLYNOMIAL in (x, y).
+    # The reference's r^m * e^{i m atan2(y,x)} form (ide_encoder.py:151-157)
+    # has singular gradients at x=y=0 (pow of r_sq and atan2 both blow up as
+    # the direction approaches +-z — a reflection dir that occurs constantly);
+    # the reference even carries a runtime NaN check (ide_encoder.py:125-128)
+    # and leans on its AMP GradScaler to skip poisoned steps.  The recurrence
+    # below is exactly equal in value with everywhere-smooth gradients.
+    m_max = int(ml_array[0].max())
+    re_pows = [jnp.ones_like(x)]
+    im_pows = [jnp.zeros_like(x)]
+    for _ in range(m_max):
+        re_pows.append(re_pows[-1] * x - im_pows[-1] * y)
+        im_pows.append(re_pows[-2] * y + im_pows[-1] * x)
+    re_all = jnp.concatenate(re_pows, axis=-1)             # [..., m_max+1]
+    im_all = jnp.concatenate(im_pows, axis=-1)
+    m_idx = jnp.asarray(ml_array[0], jnp.int32)            # [P]
+    vmxy_re = jnp.take(re_all, m_idx, axis=-1)             # [..., P]
+    vmxy_im = jnp.take(im_all, m_idx, axis=-1)
 
     if isinstance(roughness, (int, float)):
         roughness = jnp.asarray(roughness, dtype=dtype)
     roughness = jnp.asarray(roughness, dtype=dtype)
-    if roughness.ndim == 0:
-        kappa_inv = roughness
-    else:
-        kappa_inv = roughness  # broadcasts over trailing P axis via [..., 1]
+    kappa_inv = roughness  # scalar or [..., 1]; broadcasts over P
     exp_scale = jnp.exp(-sigma_j * kappa_inv)              # [..., P]
 
     scaled_z = z_component * exp_scale
-    ide_real = vmxy_r * jnp.cos(theta) * scaled_z
-    ide_imag = vmxy_r * jnp.sin(theta) * scaled_z
+    ide_real = vmxy_re * scaled_z
+    ide_imag = vmxy_im * scaled_z
     return jnp.concatenate([ide_real, ide_imag], axis=-1)

@@ -1,0 +1,216 @@
+"""VolSDF error-bound sampling (the ``run_volsdf`` strategy).
+
+Reimplements ``/root/reference/nerf/render_func/volsdf.py`` with static
+shapes: the reference's ``while not_converge`` refinement loop becomes a fixed
+unroll of GROW_ITERS upsampling rounds (each adds exactly ``num_steps`` eval
+samples; already-converged rays simply refine further — same math, no dynamic
+shapes), followed by the final opacity-proportional draw.  The per-ray beta
+line search (Theorem 1 / Lemma 2 of the VolSDF paper) is a vectorized
+bisection.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from envidr_tpu.geometry.rays import near_far_from_aabb
+from envidr_tpu.models.network import (
+    NetworkConfig, forward_geometry, geometry_with_normals,
+    get_color_mlp_extra_params, forward_color,
+)
+from envidr_tpu.ops.density import laplace_beta, laplace_density
+from envidr_tpu.ops.compositing import alphas_from_sigmas, weights_from_alphas
+from envidr_tpu.render.uniform import sample_pdf
+
+
+@dataclasses.dataclass(frozen=True)
+class VolSDFOptions:
+    num_steps: int = 128            # coarse + per-round eval samples
+    upsample_steps: int = 64        # final importance samples
+    n_samples_extra: int = 32
+    grow_iters: int = 4             # reference max_total_iters=5 => 4 grows + final
+    beta_iters: int = 10
+    eps: float = 0.1
+    add_tiny: float = 1e-6
+    min_near: float = 0.2
+    density_scale: float = 1.0
+    perturb: bool = False
+    training: bool = False
+
+
+def _d_star(z_vals, sdf):
+    """Distance bound d* of Theorem 1 (volsdf.py:112-125)."""
+    d = sdf
+    a = z_vals[:, 1:] - z_vals[:, :-1]
+    b = jnp.abs(d[:, :-1])
+    c = jnp.abs(d[:, 1:])
+    first = a**2 + b**2 <= c**2
+    second = a**2 + c**2 <= b**2
+    s = (a + b + c) / 2.0
+    area = jnp.clip(s * (s - a) * (s - b) * (s - c), 0.0)
+    d_mid = 2.0 * jnp.sqrt(area) / jnp.maximum(a, 1e-12)
+    ds = jnp.where(first, b, jnp.where(second, c,
+                   jnp.where(b + c - a > 0, d_mid, 0.0)))
+    return jnp.where(jnp.sign(d[:, 1:]) * jnp.sign(d[:, :-1]) == 1, ds, 0.0)
+
+
+def _error_bound(beta, sdf, dists, d_star):
+    """Max per-ray opacity-error bound (volsdf.py:27-37). beta: [N, 1]."""
+    density = laplace_density(sdf, beta)
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(dists[:, :1]), dists * density[:, :-1]], -1)
+    integral = jnp.cumsum(shifted, -1)
+    err = jnp.exp(-d_star / beta) * dists**2 / (4.0 * beta**2)
+    err_int = jnp.cumsum(err, -1)
+    bound = (jnp.clip(jnp.exp(err_int), None, 1e6) - 1.0) \
+        * jnp.exp(-integral[:, :-1])
+    return jnp.max(bound, -1)
+
+
+def volsdf_sample(params, cfg: NetworkConfig, opts: VolSDFOptions,
+                  rays_o, rays_d, nears, fars, aabb, *,
+                  key: Optional[jax.Array] = None, level_mask=None):
+    """Returns final z_vals [N, S_final] (sorted)."""
+    N = rays_o.shape[0]
+    T = opts.num_steps
+    z = jnp.linspace(0.0, 1.0, T)
+    z_vals = nears[:, None] + (fars - nears)[:, None] * z[None, :]
+    if opts.perturb and key is not None:
+        key, sub = jax.random.split(key)
+        dz = (fars - nears)[:, None] / T
+        z_vals = z_vals + (jax.random.uniform(sub, z_vals.shape) - 0.5) * dz
+
+    beta0 = jax.lax.stop_gradient(
+        laplace_beta(params["sdf_density"], cfg.beta_min, cfg.beta_max))
+    dists0 = z_vals[:, 1:] - z_vals[:, :-1]
+    bound = (1.0 / (4.0 * jnp.log(jnp.asarray(opts.eps + 1.0)))) \
+        * jnp.sum(dists0**2, -1)
+    beta = jnp.sqrt(bound)                                       # [N]
+
+    def query_sdf(zv):
+        xyz = rays_o[:, None, :] + rays_d[:, None, :] * zv[..., None]
+        xyz = jnp.clip(xyz, aabb[:3], aabb[3:])
+        geo = forward_geometry(params, cfg, xyz, None, level_mask)
+        return jax.lax.stop_gradient(geo["sdf"])
+
+    for it in range(opts.grow_iters):
+        sdf = query_sdf(z_vals)
+        dists = z_vals[:, 1:] - z_vals[:, :-1]
+        d_star = _d_star(z_vals, sdf)
+
+        # beta bisection line search (volsdf.py:127-136)
+        err0 = _error_bound(beta0[None, None], sdf, dists, d_star)
+        beta = jnp.where(err0 <= opts.eps, beta0, beta)
+        b_min = jnp.full((N,), beta0)
+        b_max = beta
+        for _ in range(opts.beta_iters):
+            b_mid = 0.5 * (b_min + b_max)
+            err = _error_bound(b_mid[:, None], sdf, dists, d_star)
+            b_max = jnp.where(err <= opts.eps, b_mid, b_max)
+            b_min = jnp.where(err > opts.eps, b_mid, b_min)
+        beta = b_max
+
+        # error-proportional upsampling weights (volsdf.py:151-158)
+        dists_inf = jnp.concatenate(
+            [dists, jnp.full_like(dists[:, :1], 1e10)], -1)
+        density = laplace_density(sdf, beta[:, None])
+        free_energy = dists_inf * density
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(free_energy[:, :1]), free_energy[:, :-1]], -1)
+        transmittance = jnp.exp(-jnp.cumsum(shifted, -1))
+        err = jnp.exp(-d_star / beta[:, None]) * dists_inf[:, :-1]**2 \
+            / (4.0 * beta[:, None]**2)
+        bound_op = (jnp.clip(jnp.exp(jnp.cumsum(err, -1)), None, 1e6) - 1.0) \
+            * transmittance[:, :-1]
+        w = jnp.concatenate([bound_op, jnp.ones_like(bound_op[:, :1])], -1)
+        key, sub = (jax.random.split(key) if key is not None
+                    else (None, jax.random.PRNGKey(it)))
+        new_z = sample_pdf(sub, z_vals, w[:, :-1] + opts.add_tiny,
+                           opts.num_steps, det=True)
+        z_vals = jnp.sort(jnp.concatenate([z_vals, new_z], -1), -1)
+
+    # final draw: opacity-proportional (volsdf.py:160-166)
+    sdf = query_sdf(z_vals)
+    dists = z_vals[:, 1:] - z_vals[:, :-1]
+    dists_inf = jnp.concatenate([dists, jnp.full_like(dists[:, :1], 1e10)], -1)
+    density = laplace_density(sdf, beta[:, None])
+    alpha = 1.0 - jnp.exp(-dists_inf * density)
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(dists_inf[:, :1]), (dists_inf * density)[:, :-1]], -1)
+    transmittance = jnp.exp(-jnp.cumsum(shifted, -1))
+    w_final = alpha * transmittance
+    key, sub = (jax.random.split(key) if key is not None
+                else (None, jax.random.PRNGKey(99)))
+    z_samples = sample_pdf(sub, z_vals, w_final[:, :-1] + 1e-5,
+                           opts.upsample_steps, det=not opts.training)
+
+    # extra coverage samples (volsdf.py:268-277)
+    if opts.n_samples_extra > 0:
+        S = z_vals.shape[1]
+        if opts.training and key is not None:
+            key, sub = jax.random.split(key)
+            idx = jax.random.permutation(sub, S)[:opts.n_samples_extra]
+        else:
+            idx = jnp.linspace(0, S - 1, opts.n_samples_extra).astype(jnp.int32)
+        z_extra = jnp.concatenate(
+            [nears[:, None], fars[:, None], z_vals[:, idx]], -1)
+    else:
+        z_extra = jnp.concatenate([nears[:, None], fars[:, None]], -1)
+    return jnp.sort(jnp.concatenate([z_samples, z_extra], -1), -1)
+
+
+def render_volsdf(params, cfg: NetworkConfig, opts: VolSDFOptions,
+                  rays_o, rays_d, bg_color, aabb, *,
+                  key: Optional[jax.Array] = None, env_index=0,
+                  level_mask=None) -> Dict[str, Any]:
+    """run_volsdf equivalent: error-bound sample then shade + composite."""
+    from envidr_tpu.models.network import sdf_to_sigma
+
+    N = rays_o.shape[0]
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, opts.min_near)
+    miss = fars > 1e9
+    nears = jnp.where(miss, 2.0, nears)
+    fars = jnp.where(miss, 2.001, fars)
+
+    z_vals = volsdf_sample(params, cfg, opts, rays_o, rays_d, nears, fars,
+                           aabb, key=key, level_mask=level_mask)
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    xyz = jnp.clip(xyz, aabb[:3], aabb[3:])
+    dirs = jnp.broadcast_to(rays_d[:, None, :], xyz.shape)
+
+    geo, normals, sdf_gradients = geometry_with_normals(
+        params, cfg, xyz, None, level_mask, need_normals=True)
+    sigmas = opts.density_scale * sdf_to_sigma(params, cfg, geo["sdf"])
+    sigmas = jnp.where(miss[:, None], 0.0, sigmas)
+    roughness = geo["roughness"]
+    if roughness is None:
+        roughness = jnp.full_like(sigmas[..., None], cfg.default_roughness)
+
+    normals_enc, w_r_enc, n_dot_w_o, n_env_enc = get_color_mlp_extra_params(
+        params, cfg, normals, dirs, roughness)
+    rgbs, aux = forward_color(params, cfg, geo["geo_feat"], dirs, normals_enc,
+                              w_r_enc, n_dot_w_o, env_index=env_index,
+                              n_env_enc=n_env_enc, roughness=roughness,
+                              blend_weight=geo["blend_weight"])
+
+    deltas = jnp.diff(z_vals, axis=-1)
+    deltas = jnp.concatenate([deltas, 1e4 * jnp.ones_like(deltas[:, :1])], -1)
+    weights = weights_from_alphas(alphas_from_sigmas(sigmas, deltas))
+    weights_sum = jnp.sum(weights, -1)
+    bg = jnp.broadcast_to(jnp.asarray(bg_color, rays_o.dtype), (N, 3))
+    image = jnp.sum(weights[..., None] * rgbs, -2) \
+        + (1.0 - weights_sum[..., None]) * bg
+    depth = jnp.sum(weights * z_vals, -1)
+    out = {"image": image, "depth": depth, "weights_sum": weights_sum,
+           "sdfs": geo["sdf"], "sigmas": sigmas}
+    if sdf_gradients is not None:
+        out["sdf_gradients"] = sdf_gradients
+    if normals is not None:
+        n_img = jnp.sum(weights[..., None] * jax.lax.stop_gradient(normals), -2)
+        out["normal_image"] = n_img / jnp.maximum(
+            jnp.linalg.norm(n_img, axis=-1, keepdims=True), 1e-10)
+    return out

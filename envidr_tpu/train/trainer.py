@@ -99,7 +99,11 @@ def make_optimizer(params: dict, opt: Options) -> optax.GradientTransformation:
         "env": group(elr), "frozen": optax.set_to_zero(),
     }
     labels = _param_labels(params, opt)
-    return optax.multi_transform(transforms, labels)
+    tx = optax.multi_transform(transforms, labels)
+    # skip non-finite updates — the TPU-native analogue of the reference's AMP
+    # GradScaler step-skipping (utils.py:1220-1225); one pathological batch
+    # must not poison the params
+    return optax.apply_if_finite(tx, max_consecutive_errors=10000)
 
 
 # ---------------------------------------------------------------------------
@@ -143,13 +147,25 @@ class Trainer:
         self.mean_count = -1.0
         self.stats: Dict[str, Any] = {"loss": [], "results": [], "ckpts": []}
         self.use_grid = not (opt.env_sph_mode or opt.render_env_on_sphere)
+        try:  # scalar logging (reference uses tensorboardX too, utils.py:933)
+            from tensorboardX import SummaryWriter
+            self.tb = SummaryWriter(os.path.join(self.workspace, "run"))
+        except Exception:
+            self.tb = None
 
     # ---------------- checkpoint import helpers ----------------
 
     def _resume_mlps(self, params, path, which):
-        from envidr_tpu.io.torch_import import load_state_dict, network_params_from_state
-        sd = load_state_dict(path)
-        loaded = network_params_from_state(sd, self.cfg)
+        if path.endswith(".ckpt"):  # our own checkpoint format
+            with open(path, "rb") as f:
+                payload = pickle.load(f)
+            loaded = jax.tree.map(jnp.asarray,
+                                  payload.get("ema", payload["params"]))
+        else:  # reference .pth
+            from envidr_tpu.io.torch_import import (
+                load_state_dict, network_params_from_state)
+            sd = load_state_dict(path)
+            loaded = network_params_from_state(sd, self.cfg)
         name_map = {"specular": "color_net", "diffuse": "diffuse_net",
                     "renv": "renv_net", "diffuse_env": "diffuse_env_net",
                     "specular_env": "env_net"}
@@ -410,6 +426,12 @@ class Trainer:
         avg["time"] = time.time() - t0
         avg["rays_per_sec"] = sched.num_rays * len(order) / avg["time"]
         self.stats["loss"].append(avg["loss"])
+        if self.tb is not None:
+            for k, v in avg.items():
+                self.tb.add_scalar(f"train/{k}", v, self.global_step)
+            self.tb.add_scalar(
+                "train/lr", self.opt.lr * lr_lambda(self.global_step, self.opt.iters),
+                self.global_step)
         return avg
 
     # ---------------- evaluation ----------------
@@ -481,24 +503,62 @@ class Trainer:
         return fn
 
     def evaluate(self, dataset, *, max_images: int = 8, mode: str = "scene",
-                 use_ema: bool = True):
+                 use_ema: bool = True, env_rot_degree_range=None,
+                 dump_dir: Optional[str] = None):
+        """PSNR eval; optional env-rotation sweep (utils.py:1295-1303) and
+        visual-item image dumps (utils.py:1382-1442)."""
+        from envidr_tpu.geometry.rays import linear_to_srgb
         meter = PSNRMeter()
         n = min(len(dataset), max_images)
+        rots = [None]
+        if env_rot_degree_range:
+            d0, d1, k = env_rot_degree_range
+            rots = list(np.deg2rad(np.linspace(d0, d1, int(k))))
         for i in range(n):
-            res = self.render_image(
-                dataset.poses[i], dataset.intrinsics, dataset.H, dataset.W,
-                mode=mode, use_ema=use_ema,
-                material=getattr(dataset, "materials", [None] * len(dataset))[i],
-                env_index=getattr(dataset, "env_indices", np.zeros(len(dataset)))[i])
-            gt = dataset.images[i].astype(np.float32) / 255.0
-            if gt.shape[-1] == 4:
-                gt = gt[..., :3] * gt[..., 3:] + (1.0 - gt[..., 3:])
-            pred = res["image"]
-            if self.opt.color_space == "linear":
-                from envidr_tpu.geometry.rays import linear_to_srgb
-                pred = np.asarray(linear_to_srgb(jnp.asarray(pred)))
-            meter.update(np.clip(pred, 0, 1), gt)
+            for ri, rot in enumerate(rots):
+                res = self.render_image(
+                    dataset.poses[i], dataset.intrinsics, dataset.H, dataset.W,
+                    mode=mode, use_ema=use_ema, env_rot_radian=rot,
+                    material=getattr(dataset, "materials", [None] * len(dataset))[i],
+                    env_index=getattr(dataset, "env_indices",
+                                      np.zeros(len(dataset), np.int32))[i])
+                pred = res["image"]
+                if self.opt.color_space == "linear":
+                    pred = np.asarray(linear_to_srgb(jnp.asarray(pred)))
+                if rot is None:
+                    gt = dataset.images[i].astype(np.float32) / 255.0
+                    if gt.shape[-1] == 4:
+                        gt = gt[..., :3] * gt[..., 3:] + (1.0 - gt[..., 3:])
+                    meter.update(np.clip(pred, 0, 1), gt)
+                if dump_dir is not None:
+                    self._dump_visuals(res, pred, dump_dir,
+                                       f"{i:03d}" + (f"_rot{ri}" if rot is not None else ""))
+        if self.tb is not None:
+            self.tb.add_scalar("eval/psnr", meter.measure(), self.global_step)
         return meter.measure()
+
+    def _dump_visuals(self, res, pred_srgb, outdir, tag):
+        try:
+            import imageio.v2 as imageio
+        except ImportError:
+            return
+        os.makedirs(outdir, exist_ok=True)
+        imageio.imwrite(os.path.join(outdir, f"{tag}_rgb.png"),
+                        (np.clip(pred_srgb, 0, 1) * 255).astype(np.uint8))
+        items = set(self.opt.visual_items)
+        if "normal_image" in res:
+            n = res["normal_image"] * 0.5 + 0.5
+            imageio.imwrite(os.path.join(outdir, f"{tag}_normal.png"),
+                            (np.clip(n, 0, 1) * 255).astype(np.uint8))
+        for key, name in (("diffuse_image", "diffuse"),
+                          ("specular_image", "specular"),
+                          ("roughness_image", "roughness")):
+            if name in items and key in res:
+                v = res[key]
+                if v.shape[-1] == 1:
+                    v = np.repeat(v, 3, -1) / max(float(v.max()), 1e-6)
+                imageio.imwrite(os.path.join(outdir, f"{tag}_{name}.png"),
+                                (np.clip(v, 0, 1) * 255).astype(np.uint8))
 
     # ---------------- checkpoints ----------------
 

@@ -33,3 +33,23 @@ def test_obj_export(tmp_path):
     write_obj(p, verts, faces)
     lines = open(p).read().splitlines()
     assert lines[0].startswith("v ") and lines[-1] == "f 1 2 3"
+
+
+def test_native_matches_numpy():
+    from envidr_tpu.native import marching_tets_native
+    R = 24
+    xs = np.linspace(-1, 1, R)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1)
+    field = -(np.linalg.norm(g, axis=-1) - 0.55).astype(np.float32)
+    nat = marching_tets_native(field)
+    if nat is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    ref = marching_tets(field, use_native=False)
+    nv, nf = nat
+    rv, rf = ref
+    assert nv.shape == rv.shape and nf.shape == rf.shape
+    # same welded vertex set (order may differ)
+    kn = set(map(tuple, np.round(nv * 1024).astype(np.int64)))
+    kr = set(map(tuple, np.round(rv * 1024).astype(np.int64)))
+    assert kn == kr
