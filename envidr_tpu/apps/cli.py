@@ -119,7 +119,13 @@ def main(argv=None):
         trainer.mark_untrained_grid(train_set.poses, train_set.intrinsics)
     best = -1.0
     for ep in range(trainer.epoch, max_epochs):
-        stats = trainer.train_one_epoch(train_set, mode=mode)
+        try:
+            stats = trainer.train_one_epoch(train_set, mode=mode)
+        except Exception as e:
+            # emergency checkpoint on any failure (utils.py:970-983)
+            path = trainer.save_checkpoint(name=f"emergency_ep{trainer.epoch:04d}")
+            log(f"[error] {type(e).__name__}: {e}; saved {path}")
+            raise
         log(f"[ep {trainer.epoch:4d}] loss={stats['loss']:.5f} "
             f"color={stats.get('color', 0):.5f} "
             f"rays/s={stats['rays_per_sec']:.0f} "

@@ -182,3 +182,46 @@ def linear_to_srgb(x):
 
 def srgb_to_linear(x):
     return jnp.where(x < 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
+
+
+def patch_rays(key, poses, intrinsics, H: int, W: int, N: int, patch_size: int):
+    """Patch-based ray sampling for patch losses (``utils.py:136-153``)."""
+    fx, fy, cx, cy = intrinsics
+    B = poses.shape[0]
+    num_patch = N // (patch_size**2)
+    k1, k2 = jax.random.split(key)
+    ix = jax.random.randint(k1, (num_patch,), 0, H - patch_size)
+    iy = jax.random.randint(k2, (num_patch,), 0, W - patch_size)
+    pi, pj = jnp.meshgrid(jnp.arange(patch_size), jnp.arange(patch_size),
+                          indexing="ij")
+    offs = jnp.stack([pi.ravel(), pj.ravel()], -1)                  # [p^2, 2]
+    inds2 = jnp.stack([ix, iy], -1)[:, None, :] + offs[None]        # [np, p^2, 2]
+    inds = (inds2[..., 0] * W + inds2[..., 1]).reshape(-1)
+    inds = jnp.broadcast_to(inds[None], (B, inds.shape[0]))
+    i = (inds % W).astype(jnp.float32) + 0.5
+    j = (inds // W).astype(jnp.float32) + 0.5
+    rays_o, rays_d = _rays_from_pixels(poses, i, j, fx, fy, cx, cy)
+    return {"rays_o": rays_o, "rays_d": rays_d, "inds": inds}
+
+
+def center_crop_rays(key, poses, intrinsics, H: int, W: int, N: int,
+                     center_crop: float, crop_ratio: float = 0.6):
+    """Center-weighted sampling (``utils.py:160-173``): crop_ratio of the rays
+    from the central crop window, the rest uniform."""
+    fx, fy, cx, cy = intrinsics
+    B = poses.shape[0]
+    pad = (1.0 - center_crop) / 2.0
+    H_pad, W_pad = int(H * pad), int(W * pad)
+    H_crop, W_crop = H - 2 * H_pad, W - 2 * W_pad
+    N_crop = int(N * crop_ratio)
+    k1, k2, k3 = jax.random.split(key, 3)
+    ic = jax.random.randint(k1, (N_crop,), 0, H_crop) + H_pad
+    jc = jax.random.randint(k2, (N_crop,), 0, W_crop) + W_pad
+    inds_crop = ic * W + jc
+    inds_bg = jax.random.randint(k3, (N - N_crop,), 0, H * W)
+    inds = jnp.concatenate([inds_crop, inds_bg])
+    inds = jnp.broadcast_to(inds[None], (B, N))
+    i = (inds % W).astype(jnp.float32) + 0.5
+    j = (inds // W).astype(jnp.float32) + 0.5
+    rays_o, rays_d = _rays_from_pixels(poses, i, j, fx, fy, cx, cy)
+    return {"rays_o": rays_o, "rays_d": rays_d, "inds": inds}

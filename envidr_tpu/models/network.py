@@ -456,13 +456,21 @@ def geometry_with_normals(params, cfg: NetworkConfig, xyz, material=None,
             grads = -grads
     raw_gradients = grads
     normals = jax.lax.stop_gradient(grads) if cfg.detach_normal else grads
-    normals = unit_norm(normals, eps=1e-10)
+    # smooth normalization g/sqrt(|g|^2+eps^2): F.normalize's hard max(|g|,eps)
+    # has an unbounded 1/|g| gradient as |g|->0, which fires ~5% non-finite
+    # backward steps once the SDF sharpens (the reference leans on its AMP
+    # GradScaler to skip those); the smooth form bounds the gradient at 1/eps
+    # and is numerically identical for healthy |g| ~ 1.
+    normals = _safe_normalize(normals)
     if normal_anneal_ratio < 1.0:
-        anneal = unit_norm(jax.lax.stop_gradient(xyz), eps=1e-10)
-        normals = unit_norm(
-            normals * normal_anneal_ratio + (1.0 - normal_anneal_ratio) * anneal,
-            eps=1e-10)
+        anneal = _safe_normalize(jax.lax.stop_gradient(xyz))
+        normals = _safe_normalize(
+            normals * normal_anneal_ratio + (1.0 - normal_anneal_ratio) * anneal)
     return geo_out, normals, raw_gradients
+
+
+def _safe_normalize(v, eps: float = 1e-4):
+    return v * jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True) + eps * eps)
 
 
 # ---------------------------------------------------------------------------

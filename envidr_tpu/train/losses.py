@@ -181,3 +181,31 @@ def compute_losses(
 
     terms = {k: jax.lax.stop_gradient(v) for k, v in terms.items()}
     return loss, terms
+
+
+def mape_loss(pred, target):
+    """Mean absolute percentage error (``loss.py:7-15``)."""
+    return jnp.mean(jnp.abs(pred - target)
+                    / (jnp.abs(jax.lax.stop_gradient(target)) + 1e-2))
+
+
+def huber_loss(pred, target, delta: float = 0.1):
+    """loss.py:18-27."""
+    d = jnp.abs(pred - target)
+    return jnp.mean(jnp.where(d < delta, 0.5 * d * d / delta, d - 0.5 * delta))
+
+
+def eff_distortion_loss(weights, z_mids, intervals):
+    """O(N) mip-NeRF-360 distortion loss (``loss.py:30-76``, EffDistLoss).
+
+    weights/z_mids/intervals: [N, S].  Autodiff of the prefix-sum form equals
+    the reference's hand-written backward.
+    """
+    wm = weights * z_mids
+    w_cum = jnp.cumsum(weights, axis=-1)
+    wm_cum = jnp.cumsum(wm, axis=-1)
+    w_prev = jnp.concatenate([jnp.zeros_like(w_cum[..., :1]), w_cum[..., :-1]], -1)
+    wm_prev = jnp.concatenate([jnp.zeros_like(wm_cum[..., :1]), wm_cum[..., :-1]], -1)
+    loss_uni = jnp.sum(weights**2 * intervals, -1) / 3.0
+    loss_bi = 2.0 * jnp.sum(weights * (z_mids * w_prev - wm_prev), -1)
+    return jnp.mean(loss_uni + loss_bi)

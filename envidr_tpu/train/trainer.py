@@ -89,6 +89,8 @@ def make_optimizer(params: dict, opt: Options) -> optax.GradientTransformation:
 
     def group(base_lr):
         return optax.chain(
+            # bound rare near-inf gradient spikes (sharp-SDF normal backward)
+            optax.clip_by_global_norm(10.0),
             optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
             optax.scale_by_schedule(lambda s: 0.1 ** jnp.minimum(s / opt.iters, 1.0)),
             optax.scale(-base_lr),
@@ -155,6 +157,20 @@ class Trainer:
 
     # ---------------- checkpoint import helpers ----------------
 
+    @staticmethod
+    def _merge_tolerant(target, loaded):
+        """Shape-mismatch-tolerant leaf merge (utils.py:1603-1614): a smaller
+        checkpoint tensor is embedded into the (larger) current tensor's
+        leading corner — e.g. hidden_dim_env 160 pretrain into a 256 net."""
+        def merge(t, l):
+            t = jnp.asarray(t)
+            l = jnp.asarray(l)
+            if t.shape == l.shape:
+                return l
+            sl = tuple(slice(0, min(a, b)) for a, b in zip(t.shape, l.shape))
+            return t.at[sl].set(l[sl])
+        return jax.tree.map(merge, target, loaded)
+
     def _resume_mlps(self, params, path, which):
         if path.endswith(".ckpt"):  # our own checkpoint format
             with open(path, "rb") as f:
@@ -173,7 +189,10 @@ class Trainer:
         for w in which:
             key = name_map.get(w)
             if key and key in loaded:
-                out[key] = loaded[key]
+                try:
+                    out[key] = self._merge_tolerant(params[key], loaded[key])
+                except Exception:
+                    out[key] = loaded[key]  # structure mismatch: take as-is
                 print(f"[trainer] resumed {key} from {path}")
         return out
 
@@ -333,6 +352,16 @@ class Trainer:
                         rays_d, bg, aabb, key=k_perturb, obj_aabb=obj_aabb,
                         level_mask=lm,
                         normal_anneal_ratio=sched.normal_anneal_ratio)
+                elif mode == "scene" and opt.error_bound_sample:
+                    # VolSDF error-bound strategy (renderer.py:373-374)
+                    from envidr_tpu.render.volsdf import (
+                        VolSDFOptions, render_volsdf)
+                    vopts = VolSDFOptions(
+                        num_steps=opt.num_steps,
+                        upsample_steps=max(opt.upsample_steps, 16),
+                        min_near=opt.min_near, perturb=True, training=True)
+                    out = render_volsdf(p, cfg, vopts, rays_o, rays_d, bg,
+                                        aabb, key=k_perturb, level_mask=lm)
                 elif mode == "scene":
                     out = render_scene(
                         p, cfg, ropts, state["grid"].bitfield, rays_o, rays_d,
@@ -559,6 +588,40 @@ class Trainer:
                     v = np.repeat(v, 3, -1) / max(float(v.max()), 1e-6)
                 imageio.imwrite(os.path.join(outdir, f"{tag}_{name}.png"),
                                 (np.clip(v, 0, 1) * 255).astype(np.uint8))
+
+    # ---------------- profiling ----------------
+
+    def profile_steps(self, dataset, n_steps: int = 5, mode: str = "scene",
+                      out_dir: Optional[str] = None):
+        """Capture a jax.profiler device trace over a few train steps
+        (SURVEY.md §5.1: first-class tracing replaces the reference's ad-hoc
+        CUDA-event timing)."""
+        import jax.profiler
+        out = out_dir or os.path.join(self.workspace, "profile")
+        os.makedirs(out, exist_ok=True)
+        jax.profiler.start_trace(out)
+        try:
+            self.train_one_epoch_steps(dataset, n_steps, mode)
+        finally:
+            jax.profiler.stop_trace()
+        return out
+
+    def train_one_epoch_steps(self, dataset, n_steps, mode):
+        from envidr_tpu.train.schedules import resolve as _resolve
+        sched = _resolve(self.opt, max(self.epoch, 1), self.global_step)
+        self._sched = sched
+        K = self.sample_budget(sched) if mode == "scene" else 0
+        step_fn = self._get_train_step(sched, K, sched.num_rays, dataset.H,
+                                       dataset.W, dataset.C, mode)
+        intr = jnp.asarray(dataset.intrinsics, jnp.float32)
+        w = {k: jnp.asarray(v) for k, v in sched.weights.items()}
+        for i in range(n_steps):
+            self.key, sub = jax.random.split(self.key)
+            batch = {"pose": dataset.device_poses[i % len(dataset)],
+                     "image": dataset.device_images[i % len(dataset)],
+                     "intrinsics": intr}
+            self.state, m = step_fn(self.state, batch, sub, w)
+        jax.block_until_ready(m["loss"])
 
     # ---------------- checkpoints ----------------
 

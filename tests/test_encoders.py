@@ -74,3 +74,21 @@ def test_freq_encode_shape_and_values():
     np.testing.assert_allclose(out[0, 6:9], np.cos([0.5, -0.25, 1.0]), rtol=1e-5)
     np.testing.assert_allclose(out[0, 9:12], np.sin([1.0, -0.5, 2.0]), rtol=1e-5)
     assert freq_encode(x, degree=0) is x
+
+
+def test_get_encoder_facade():
+    from envidr_tpu.ops.encoders import get_encoder
+    enc, dim, init = get_encoder("integrated_dir", degree=4)
+    assert dim == 38 and init is None
+    d = jnp.asarray([[0.0, 0.6, 0.8]])
+    assert enc(d, roughness=0.1).shape == (1, 38)
+    enc, dim, init = get_encoder("sphere_harmonics", degree=3)
+    assert dim == 9
+    enc, dim, init = get_encoder("hashgrid_diff", num_levels=4,
+                                 log2_hashmap_size=10, desired_resolution=64)
+    assert dim == 8 and init is not None
+    params = init(jax.random.PRNGKey(0))
+    out = enc(params, jnp.asarray([[0.1, -0.2, 0.3]]))
+    assert out.shape == (1, 8)
+    enc, dim, init = get_encoder("None")
+    assert enc(d) is d

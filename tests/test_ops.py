@@ -116,3 +116,37 @@ def test_reflect_and_srgb_roundtrip():
                                atol=1e-6)
     x = jnp.linspace(0.0, 1.0, 32)
     np.testing.assert_allclose(srgb_to_linear(linear_to_srgb(x)), x, atol=1e-5)
+
+
+def test_aux_losses():
+    from envidr_tpu.train.losses import mape_loss, huber_loss, eff_distortion_loss
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(0, 1, (8, 3)), jnp.float32)
+    b = jnp.asarray(rng.uniform(0, 1, (8, 3)), jnp.float32)
+    assert float(mape_loss(a, a)) == 0.0
+    assert float(huber_loss(a, a)) == 0.0
+    assert float(huber_loss(a, b)) > 0
+    w = jnp.asarray(rng.uniform(0, 0.2, (4, 16)), jnp.float32)
+    z = jnp.cumsum(jnp.full((4, 16), 0.05), -1)
+    iv = jnp.full((4, 16), 0.05)
+    # concentrated weights -> lower distortion than spread weights
+    w_conc = jnp.zeros((4, 16)).at[:, 8].set(w.sum(-1))
+    l_spread = float(eff_distortion_loss(w, z, iv))
+    l_conc = float(eff_distortion_loss(w_conc, z, iv))
+    assert l_conc < l_spread
+
+
+def test_patch_and_center_crop_rays():
+    from envidr_tpu.geometry.rays import patch_rays, center_crop_rays
+    pose = jnp.eye(4)[None]
+    intr = (100.0, 100.0, 32.0, 32.0)
+    out = patch_rays(jax.random.PRNGKey(0), pose, intr, 64, 64, 256, 8)
+    assert out["rays_o"].shape == (1, 256, 3)
+    inds = np.asarray(out["inds"][0]).reshape(-1, 64)
+    # each patch's pixels span an 8x8 block
+    rows = inds // 64
+    assert (rows.max(1) - rows.min(1) == 7).all()
+    out2 = center_crop_rays(jax.random.PRNGKey(1), pose, intr, 64, 64, 256, 0.5)
+    assert out2["rays_d"].shape == (1, 256, 3)
+    ic = np.asarray(out2["inds"][0][: int(256 * 0.6)])
+    assert (ic // 64 >= 16).all() and (ic // 64 < 48).all()
