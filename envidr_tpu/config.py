@@ -291,6 +291,7 @@ class Options:
     samples_budget: int = -1             # static K override (-1: auto from mean_count)
     numerical_normals: bool = False      # central-difference SDF normals (TPU fast path)
     numerical_normals_eps: float = 0.005
+    hash_table_dtype: str = "float32"    # 'bfloat16' for half gather bytes
     eval_samples_budget: int = 256
     eval_ray_chunk: int = 4096
     mesh_shape: Tuple[int, ...] = ()     # data-parallel device mesh (empty: all devices)
@@ -412,4 +413,5 @@ def network_config(opt: Options) -> NetworkConfig:
         hidden_dim_bg=64,
         numerical_normals=opt.numerical_normals,
         numerical_normals_eps=opt.numerical_normals_eps,
+        hash_table_dtype=opt.hash_table_dtype,
     )

@@ -138,6 +138,7 @@ class NetworkConfig:
     # remains the default.
     numerical_normals: bool = False
     numerical_normals_eps: float = 0.005
+    hash_table_dtype: str = "float32"      # 'bfloat16': halve gather bytes
 
     # ----- derived dims -----------------------------------------------------
     @property
@@ -149,7 +150,7 @@ class NetworkConfig:
             base_resolution=self.base_resolution,
             desired_resolution=int(self.bound * self.desired_resolution),
             log2_hashmap_size=self.log2_hashmap_size, interpolation=interp,
-            indexing=indexing)
+            indexing=indexing, table_dtype=self.hash_table_dtype)
 
     @property
     def pos_enc_dim(self) -> int:

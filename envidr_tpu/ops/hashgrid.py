@@ -52,6 +52,9 @@ class HashGridSpec:
     #   IDENTICAL to the reference; hashed levels trade prime-XOR collisions
     #   for tiled aliasing (torch-ngp's gridtype='tiled').
     indexing: str = "hash"
+    # 'bfloat16' halves the gather/scatter bytes of the rolled path (XLA
+    # gathers are byte-capped ~2 GB/s); interpolation still runs in f32.
+    table_dtype: str = "float32"
 
     # derived (filled in __post_init__)
     scale_factor: float = dataclasses.field(init=False)
@@ -188,6 +191,8 @@ def hash_encode(
         # corner-blocked tables, built with STATIC per-level rolls on the
         # UNPADDED slices so wraparound is exactly mod the level's table size
         blocked_tables = []
+        gather_dtype = jnp.bfloat16 if spec.table_dtype == "bfloat16" \
+            else embeddings.dtype
         for l in range(L):
             tab_l = embeddings[spec.offsets[l]:spec.offsets[l + 1]]
             r = int(resolutions[l])
@@ -198,7 +203,7 @@ def hash_encode(
             blk = jnp.concatenate(rolls, axis=-1)                     # [S_l, 8C]
             blocked_tables.append(
                 jnp.pad(blk, ((0, s_max - int(sizes[l])), (0, 0))))
-        blocked_tables = jnp.stack(blocked_tables)                    # [L, S, 8C]
+        blocked_tables = jnp.stack(blocked_tables).astype(gather_dtype)
 
         def level_body_rolled(blocked, scale, res, hm):
             pos = x * scale
@@ -209,7 +214,7 @@ def hash_encode(
             strides = jnp.stack([jnp.uint32(1), res, res * res])[:D]
             base = jnp.sum(pg * strides[None, :], axis=-1) % hm       # [B]
             rows = jnp.take(blocked, base.astype(jnp.int32), axis=0)  # [B, 8C]
-            rows = rows.reshape(-1, 2**D, C)
+            rows = rows.astype(x.dtype).reshape(-1, 2**D, C)
             wcs = []
             for corner in range(2**D):
                 offs = jnp.asarray([(corner >> d) & 1 for d in range(D)],
