@@ -339,6 +339,17 @@ def load_options(config_path: str = "", **overrides) -> Options:
     values = {}
     if config_path:
         raw = parse_ini(config_path)
+        # follow the env-dataset sub-config (sph_loader.py:18-47 schema)
+        sub = raw.get("env_dataset_config", "")
+        if sub:
+            import os as _os
+            for cand in (sub, _os.path.join(_os.path.dirname(config_path),
+                                            _os.path.basename(str(sub)))):
+                if isinstance(cand, str) and _os.path.exists(cand):
+                    merged = parse_ini(cand)
+                    merged.update(raw)      # main config wins
+                    raw = merged
+                    break
         field_names = {f.name for f in dataclasses.fields(Options)}
         for k, v in raw.items():
             if k in field_names:
