@@ -99,6 +99,9 @@ def compute_losses(
         terms["mask"] = t
 
     pm = outputs.get("point_mask")
+    if pm is None and "relsdf" in outputs:
+        # sphere mode: every consecutive-sample pair is valid (sph_ray.py:165-178)
+        pm = jnp.ones_like(outputs["relsdf"], dtype=bool)
 
     if flags.use_relsdf_loss:
         l_d = (outputs["relsdf"] - outputs["est_relsdf"]) ** 2 * pm
