@@ -40,6 +40,9 @@ def build_argparser():
 
 
 def main(argv=None):
+    import faulthandler
+    import signal
+    faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
     args = build_argparser().parse_args(argv)
 
     from envidr_tpu.config import load_options, network_config

@@ -84,15 +84,20 @@ class EnvSphereDataset:
 
     @property
     def materials(self):
-        """Indexable view: materials[i] -> dict of device scalars (traced-safe)."""
-        r = self._cache("rough", lambda: jnp.asarray(self._rough))
-        m = self._cache("metal", lambda: jnp.asarray(self._metal))
-        c = self._cache("color", lambda: jnp.asarray(self._color))
+        """Indexable view: materials[i] -> dict of HOST numpy scalars.  They
+        become traced jit args — host-side indexing avoids queueing thousands
+        of tiny device slice ops per epoch (the single-tenant tunnel stalls
+        under deep async queues of small transfers)."""
+        r, m, c = self._rough, self._metal, self._color
 
         class _View:
             def __getitem__(_, i):
                 return {"roughness": r[i], "metallic": m[i], "color": c[i]}
         return _View()
+
+    @property
+    def host_env_indices(self):
+        return self._env_idx
 
     @property
     def device_r_images(self) -> Optional[jnp.ndarray]:

@@ -430,7 +430,9 @@ class Trainer:
             self.key, sub = jax.random.split(self.key)
             batch = {"pose": poses[i], "image": images[i], "intrinsics": intr}
             if mode == "sphere":
-                batch["env_index"] = dataset.env_indices[i]
+                batch["env_index"] = int(np.asarray(dataset.env_indices[i])) \
+                    if not hasattr(dataset, "host_env_indices") \
+                    else int(dataset.host_env_indices[i])
                 batch["material"] = dataset.materials[i]
                 r_all = getattr(dataset, "device_r_images", None)
                 if r_all is not None:
@@ -439,6 +441,10 @@ class Trainer:
                                           {k: jnp.asarray(v) for k, v in
                                            sched.weights.items()})
             losses.append(metrics)
+            if len(losses) % 8 == 0:
+                # cap the async dispatch queue: the single-tenant tunnel
+                # deadlocks when hundreds of steps queue unsynchronized
+                jax.block_until_ready(metrics["loss"])
             if mode == "scene" and "mean_count" in metrics:
                 mc = float(metrics["mean_count"])
                 self.mean_count = mc if self.mean_count < 0 \
