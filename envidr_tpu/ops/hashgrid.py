@@ -55,6 +55,13 @@ class HashGridSpec:
     # 'bfloat16' halves the gather/scatter bytes of the rolled path (XLA
     # gathers are byte-capped ~2 GB/s); interpolation still runs in f32.
     table_dtype: str = "float32"
+    # Hand-written first+second-order VJP for the rolled path (mirrors the
+    # reference's _hash_encode_second_backward plumbing, hashgrid.py:55-104 +
+    # hashencoder.cu:258-434).  Exact same math as autodiff, but: (a) corner
+    # rows are saved as residuals so the backward re-gathers nothing, (b) the
+    # eikonal double-backward adds exactly ONE extra scatter instead of an
+    # XLA-autodiff chain, (c) jit graphs shrink ~10x (sphere-mode compile).
+    custom_grad: bool = True
 
     # derived (filled in __post_init__)
     scale_factor: float = dataclasses.field(init=False)
@@ -121,6 +128,237 @@ def _level_constants(spec: HashGridSpec):
     )
 
 
+# ---------------------------------------------------------------------------
+# rolled_tiled fast path: hand-written first+second-order VJP
+# ---------------------------------------------------------------------------
+#
+# Mirrors the reference's double-backward plumbing (a custom Function whose
+# backward is itself a custom Function, ``hashgrid.py:55-104``) and its three
+# second-order kernels (``hashencoder.cu:376-434``).  The rolled/blocked table
+# layout keeps it at ONE gather row per sample-level forward and ONE scatter
+# row per sample-level per backward order.
+
+_CORNERS = np.array([[(c >> d) & 1 for d in range(3)] for c in range(8)],
+                    np.float32)                       # [8, 3] corner offsets
+_SIGNS = _CORNERS * 2.0 - 1.0                         # d sel / d s
+
+
+def build_blocked_tables(embeddings: jnp.ndarray, spec: HashGridSpec):
+    """[table_size, C] -> [L, S_max, 8C] corner-blocked stacked tables.
+
+    Static per-level rolls on the unpadded slices; wraparound is exactly mod
+    the level's table size.  Pure XLA dense ops — autodiff through this gives
+    the inverse rolls + sum for free.
+    """
+    L, D, C = spec.num_levels, spec.input_dim, spec.level_dim
+    _, resolutions, sizes, _, s_max = _level_constants(spec)
+    gather_dtype = jnp.bfloat16 if spec.table_dtype == "bfloat16" \
+        else embeddings.dtype
+    blocked_tables = []
+    for l in range(L):
+        tab_l = embeddings[spec.offsets[l]:spec.offsets[l + 1]]
+        r = int(resolutions[l])
+        rolls = []
+        for corner in range(2**D):
+            off = sum(((corner >> d) & 1) * (r**d) for d in range(D))
+            rolls.append(jnp.roll(tab_l, -(off % int(sizes[l])), axis=0))
+        blk = jnp.concatenate(rolls, axis=-1)                     # [S_l, 8C]
+        blocked_tables.append(
+            jnp.pad(blk, ((0, s_max - int(sizes[l])), (0, 0))))
+    return jnp.stack(blocked_tables).astype(gather_dtype)
+
+
+def _rolled_geom(spec: HashGridSpec, x):
+    """Per-level interpolation geometry, batched over levels.
+
+    x: [B, 3] in [0,1].  Returns (base [L,B] i32, sel [L,B,8,3],
+    dsel [L,B,8,3] (d sel/d x, incl. scale chain), ddsel [L,B,8,3] (d2)).
+    """
+    scales, resolutions, sizes, _, _ = _level_constants(spec)
+    scales_j = jnp.asarray(scales)[:, None, None]                 # [L,1,1]
+    res_j = jnp.asarray(resolutions)[:, None]                     # [L,1]
+    sizes_j = jnp.asarray(sizes)[:, None]
+    pos = x[None, :, :] * scales_j                                # [L,B,3]
+    pg = jnp.floor(pos)
+    f = pos - pg
+    if spec.interpolation == "smoothstep":
+        s = f * f * (3.0 - 2.0 * f)
+        ds = 6.0 * f * (1.0 - f)
+        dds = 6.0 - 12.0 * f
+    else:
+        s = f
+        ds = jnp.ones_like(f)
+        dds = jnp.zeros_like(f)
+    pgu = pg.astype(jnp.uint32)
+    strides = jnp.stack([jnp.ones_like(res_j), res_j, res_j * res_j],
+                        axis=-1).astype(jnp.uint32)               # [L,1,3]
+    base = (jnp.sum(pgu * strides, axis=-1) % sizes_j).astype(jnp.int32)
+    corners = jnp.asarray(_CORNERS)                               # [8,3]
+    signs = jnp.asarray(_SIGNS)
+    sel = jnp.where(corners[None, None] == 1.0,
+                    s[:, :, None, :], 1.0 - s[:, :, None, :])     # [L,B,8,3]
+    dsel = signs[None, None] * ds[:, :, None, :] * scales_j[..., None, :]
+    ddsel = signs[None, None] * dds[:, :, None, :] * (scales_j[..., None, :] ** 2)
+    # d2 sel/dx2 sign: sel = c + sign*s -> d2 = sign * dds * scale^2;
+    # signs already in ddsel above.
+    return base, sel, dsel, ddsel
+
+
+def _w_and_grads(sel, dsel):
+    """Corner weights wc [L,B,8] and dwc/dx [L,B,8,3] from sel products."""
+    wc = sel[..., 0] * sel[..., 1] * sel[..., 2]
+    prod_other = jnp.stack([
+        sel[..., 1] * sel[..., 2],
+        sel[..., 0] * sel[..., 2],
+        sel[..., 0] * sel[..., 1],
+    ], axis=-1)                                                   # [L,B,8,3]
+    dwc = dsel * prod_other
+    return wc, prod_other, dwc
+
+
+def _gather_rows(blocked, base):
+    """[L,S,8C] x [L,B] -> [L,B,8C] (the one batched gather)."""
+    return jax.vmap(lambda t, i: jnp.take(t, i, axis=0))(blocked, base)
+
+
+def _scatter_rows(blocked_shape_like, base, rows):
+    """[L,B] x [L,B,8C] -> [L,S,8C] scatter-add (the bottleneck op)."""
+    S = blocked_shape_like.shape[1]
+    W = rows.shape[-1]
+
+    def one(i, r):
+        return jnp.zeros((S, W), jnp.float32).at[i].add(r)
+
+    return jax.vmap(one)(base, rows).astype(blocked_shape_like.dtype)
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _rolled_encode(spec: HashGridSpec, x, blocked):
+    out, _ = _rolled_encode_impl(spec, x, blocked)
+    return out
+
+
+def _rolled_encode_impl(spec, x, blocked):
+    L, C = spec.num_levels, spec.level_dim
+    B = x.shape[0]
+    base, sel, dsel, _ = _rolled_geom(spec, x)
+    wc, _, _ = _w_and_grads(sel, dsel)
+    rows = _gather_rows(blocked, base).astype(x.dtype)            # [L,B,8C]
+    rows_c = rows.reshape(L, B, 8, C)
+    out = jnp.einsum("lbk,lbkc->lbc", wc, rows_c)                 # [L,B,C]
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)                 # [B]
+    out = jnp.where(oob[None, :, None], 0.0, out)
+    out = jnp.moveaxis(out, 0, 1).reshape(B, L * C)
+    return out, (rows, oob)
+
+
+def _rolled_encode_fwd(spec, x, blocked):
+    out, (rows, oob) = _rolled_encode_impl(spec, x, blocked)
+    return out, (x, blocked, rows)
+
+
+def _rolled_encode_bwd(spec, res, g):
+    x, blocked, rows = res
+    d_x, d_blocked = _rolled_encode_grad(spec, x, blocked, g, rows)
+    return d_x, d_blocked
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _rolled_encode_grad(spec, x, blocked, g, rows):
+    """First-order backward: (d_x, d_blocked).  Itself custom-differentiable
+    (the second-order path of eikonal/normal losses).
+
+    ``rows`` is a saved-residual VALUE of gather(blocked) — its cotangent is
+    deliberately severed (zero) and the blocked-gradient contribution is
+    returned explicitly instead, so nothing double-counts.  Correct to second
+    order, which is all the losses use (renderer.py:182-198)."""
+    return _rolled_grad_impl(spec, x, blocked, g, rows)
+
+
+def _rolled_grad_impl(spec, x, blocked, g, rows):
+    L, C = spec.num_levels, spec.level_dim
+    B = x.shape[0]
+    base, sel, dsel, _ = _rolled_geom(spec, x)
+    wc, _, dwc = _w_and_grads(sel, dsel)
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
+    gl = jnp.moveaxis(g.reshape(B, L, C), 1, 0)                   # [L,B,C]
+    gl = jnp.where(oob[None, :, None], 0.0, gl)
+    rows_c = rows.reshape(L, B, 8, C).astype(jnp.float32)
+    # d_x[b,d] = sum_{l,k,c} g * rows * dwc
+    d_x = jnp.einsum("lbc,lbkc,lbkd->bd", gl, rows_c, dwc)
+    # d_blocked rows: u[l,b,k,c] = wc * g
+    u = (wc[..., None] * gl[:, :, None, :]).reshape(L, B, 8 * C)
+    d_blocked = _scatter_rows(blocked, base, u)
+    return d_x.astype(x.dtype), d_blocked
+
+
+def _rolled_grad_fwd(spec, x, blocked, g, rows):
+    outs = _rolled_grad_impl(spec, x, blocked, g, rows)
+    return outs, (x, blocked, g, rows)
+
+
+def _rolled_grad_bwd(spec, res, ts):
+    """Second-order: cotangents (t_x, t_blk) against (d_x, d_blocked) ->
+    grads w.r.t. (x, blocked, g, rows).
+
+    Mirrors kernel_grid_second_backward_grad / _embedding
+    (``hashencoder.cu:376-434``) plus the exact d2w/dx2 input-input block the
+    reference omits (its eikonal never needs it; ours keeps full correctness).
+    """
+    x, blocked, g, rows = res
+    t_x, t_blk = ts
+    L, C = spec.num_levels, spec.level_dim
+    B = x.shape[0]
+    base, sel, dsel, ddsel = _rolled_geom(spec, x)
+    wc, prod_other, dwc = _w_and_grads(sel, dsel)
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
+    gl = jnp.moveaxis(g.reshape(B, L, C), 1, 0)                   # [L,B,C]
+    gl = jnp.where(oob[None, :, None], 0.0, gl)
+    rows_c = rows.reshape(L, B, 8, C).astype(jnp.float32)
+    t_x = jnp.where(oob[:, None], 0.0, t_x.astype(jnp.float32))
+
+    # gather of the d_blocked cotangent at sample rows (zero-folded by XLA
+    # when t_blk is a materialized zero cotangent)
+    tb_c = _gather_rows(t_blk, base).astype(jnp.float32).reshape(L, B, 8, C)
+
+    # --- grad wrt g: t_x . d(d_x)/dg  +  t_blk-path ---
+    grad_g = jnp.einsum("bd,lbkc,lbkd->lbc", t_x, rows_c, dwc)
+    grad_g = grad_g + jnp.einsum("lbk,lbkc->lbc", wc, tb_c)
+    grad_g = jnp.where(oob[None, :, None], 0.0, grad_g)
+    grad_g = jnp.moveaxis(grad_g, 0, 1).reshape(B, L * C).astype(g.dtype)
+
+    # --- grad wrt blocked: scatter of t_x-weighted update rows (the d_x
+    #     path) + nothing from the d_blocked path (linear in blocked: none) ---
+    u2 = jnp.einsum("bd,lbkd,lbc->lbkc", t_x, dwc, gl).reshape(L, B, 8 * C)
+    grad_blocked = _scatter_rows(blocked, base, u2)
+
+    # --- grad wrt x: d2w/dx2 (t_x-path) + d(update-weights)/dx (t_blk) ---
+    gr = jnp.einsum("lbc,lbkc->lbk", gl, rows_c)                  # [L,B,8]
+    cols = []
+    for dp in range(3):
+        acc = 0.0
+        for d in range(3):
+            if d == dp:
+                h = ddsel[..., dp] * prod_other[..., dp]          # [L,B,8]
+            else:
+                other = 3 - d - dp
+                h = dsel[..., d] * dsel[..., dp] * sel[..., other]
+            acc = acc + jnp.einsum("lbk,lbk,b->b", gr, h, t_x[:, d])
+        cols.append(acc)
+    grad_x = jnp.stack(cols, axis=-1)
+    grad_x = grad_x + jnp.einsum("lbkc,lbc,lbkd->bd", tb_c, gl, dwc)
+    grad_x = jnp.where(oob[:, None], 0.0, grad_x).astype(x.dtype)
+
+    return grad_x, grad_blocked, grad_g, jnp.zeros_like(rows)
+
+
+_rolled_encode_grad.defvjp(_rolled_grad_fwd, _rolled_grad_bwd)
+_rolled_encode.defvjp(_rolled_encode_fwd, _rolled_encode_bwd)
+
+
 def hash_encode(
     inputs: jnp.ndarray,
     embeddings: jnp.ndarray,
@@ -145,6 +383,11 @@ def hash_encode(
     prefix = inputs.shape[:-1]
     x = inputs.reshape(-1, D)
     oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1, keepdims=True)  # [B, 1]
+
+    if spec.indexing == "rolled_tiled" and spec.custom_grad:
+        blocked_tables = build_blocked_tables(embeddings, spec)
+        out = _rolled_encode(spec, x, blocked_tables)
+        return out.reshape(*prefix, spec.output_dim)
 
     scales, resolutions, sizes, dense, s_max = _level_constants(spec)
     # padded per-level tables [L, S_max, C] (slices are static; XLA fuses the
@@ -188,22 +431,7 @@ def hash_encode(
         return acc                                                # [B, C]
 
     if spec.indexing == "rolled_tiled":
-        # corner-blocked tables, built with STATIC per-level rolls on the
-        # UNPADDED slices so wraparound is exactly mod the level's table size
-        blocked_tables = []
-        gather_dtype = jnp.bfloat16 if spec.table_dtype == "bfloat16" \
-            else embeddings.dtype
-        for l in range(L):
-            tab_l = embeddings[spec.offsets[l]:spec.offsets[l + 1]]
-            r = int(resolutions[l])
-            rolls = []
-            for corner in range(2**D):
-                off = sum(((corner >> d) & 1) * (r**d) for d in range(D))
-                rolls.append(jnp.roll(tab_l, -(off % int(sizes[l])), axis=0))
-            blk = jnp.concatenate(rolls, axis=-1)                     # [S_l, 8C]
-            blocked_tables.append(
-                jnp.pad(blk, ((0, s_max - int(sizes[l])), (0, 0))))
-        blocked_tables = jnp.stack(blocked_tables).astype(gather_dtype)
+        blocked_tables = build_blocked_tables(embeddings, spec)
 
         def level_body_rolled(blocked, scale, res, hm):
             pos = x * scale
