@@ -31,6 +31,47 @@ class PSNRMeter:
         return f"PSNR = {self.measure():.6f}"
 
 
+class SSIMMeter:
+    """Gaussian-windowed SSIM, pure numpy (no torchvision/skimage available
+    in this environment; LPIPS stays package-gated)."""
+
+    def __init__(self, sigma: float = 1.5, win: int = 11):
+        self.V, self.N = 0.0, 0
+        r = np.arange(win) - win // 2
+        k = np.exp(-(r**2) / (2 * sigma**2))
+        self.kernel = (k / k.sum()).astype(np.float64)
+
+    def _blur(self, img):
+        # separable gaussian, reflect padding, per channel
+        from numpy.lib.stride_tricks import sliding_window_view
+        pad = len(self.kernel) // 2
+        out = img
+        for axis in (0, 1):
+            out = np.pad(out, [(pad, pad) if a == axis else (0, 0)
+                               for a in range(out.ndim)], mode="reflect")
+            win = sliding_window_view(out, len(self.kernel), axis=axis)
+            out = np.tensordot(win, self.kernel, axes=([-1], [0]))
+        return out
+
+    def update(self, preds, truths):
+        x = np.asarray(preds, np.float64)
+        y = np.asarray(truths, np.float64)
+        c1, c2 = 0.01**2, 0.03**2
+        mx, my = self._blur(x), self._blur(y)
+        sxx = self._blur(x * x) - mx * mx
+        syy = self._blur(y * y) - my * my
+        sxy = self._blur(x * y) - mx * my
+        ssim = ((2 * mx * my + c1) * (2 * sxy + c2)
+                / ((mx * mx + my * my + c1) * (sxx + syy + c2)))
+        v = float(ssim.mean())
+        self.V += v
+        self.N += 1
+        return v
+
+    def measure(self):
+        return self.V / max(self.N, 1)
+
+
 class LPIPSMeter:
     """AlexNet LPIPS on host torch; inert if the lpips package is absent."""
 

@@ -32,6 +32,7 @@ class StepSchedule:
     num_rays: int                     # static
     update_extra_interval: int
     cos_anneal_ratio: float = 1.0     # dynamic (NeuS)
+    use_error_map: bool = False       # static: error-map importance sampling
 
     def __post_init__(self):
         object.__setattr__(self, "weights", dict(self.weights))
@@ -39,7 +40,8 @@ class StepSchedule:
     def __hash__(self):  # weights are dynamic — exclude from the static key
         return hash((self.flags, self.diffuse_only, self.indir_ref,
                      self.grad_rays, self.early_stop_steps, self.max_steps,
-                     self.num_rays, self.update_extra_interval))
+                     self.num_rays, self.update_extra_interval,
+                     self.use_error_map))
 
 
 def _exp_sched(sched: Tuple[float, ...], default: float, epoch: int) -> float:
@@ -150,6 +152,7 @@ def resolve(opt: Options, epoch: int, global_step: int = 0) -> StepSchedule:
         num_rays=_step_sched(opt.num_rays_sched, opt.num_rays, epoch),
         update_extra_interval=update_interval,
         cos_anneal_ratio=cos_anneal,
+        use_error_map=(opt.error_map and epoch >= opt.error_map_start_iter),
     )
 
 

@@ -147,7 +147,8 @@ class Trainer:
         self.epoch = 0
         self.global_step = 0
         self.mean_count = -1.0
-        self.stats: Dict[str, Any] = {"loss": [], "results": [], "ckpts": []}
+        self.stats: Dict[str, Any] = {"loss": [], "results": [], "ckpts": [],
+                                      "best_result": None}
         self.use_grid = not (opt.env_sph_mode or opt.render_env_on_sphere)
         try:  # scalar logging (reference uses tensorboardX too, utils.py:933)
             from tensorboardX import SummaryWriter
@@ -305,7 +306,16 @@ class Trainer:
             k_rays, k_bg, k_perturb = jax.random.split(key, 3)
 
             pose = batch["pose"][None]                          # [1, 4, 4]
-            rays = sampled_rays(k_rays, pose, batch["intrinsics"], H, W, num_rays)
+            if sched.use_error_map:
+                # importance sampling from the per-image error map EMA
+                # (utils.py:174-186); the map lives in device state
+                from envidr_tpu.geometry.rays import error_map_rays
+                em_row = state["error_map"][batch["img_idx"]][None]
+                rays = error_map_rays(k_rays, pose, batch["intrinsics"], H, W,
+                                      num_rays, em_row)
+            else:
+                rays = sampled_rays(k_rays, pose, batch["intrinsics"], H, W,
+                                    num_rays)
             rays_o = rays["rays_o"][0]
             rays_d = rays["rays_d"][0]
             pix = jnp.take(batch["image"], rays["inds"][0], axis=0)  # [N, C] uint8
@@ -388,6 +398,15 @@ class Trainer:
             updates, new_opt = optimizer.update(grads, state["opt_state"], params)
             new_params = optax.apply_updates(params, updates)
             new_state = dict(state, params=new_params, opt_state=new_opt)
+            if sched.use_error_map:
+                # per-ray EMA update of the coarse error grid (utils.py:679-700)
+                err = jax.lax.stop_gradient(
+                    jnp.mean(jnp.abs(out["image"] - gt_rgb), axis=-1))
+                ic = rays["inds_coarse"][0]
+                row = state["error_map"][batch["img_idx"]]
+                vals = 0.9 * jnp.take(row, ic) + 0.1 * err
+                new_state["error_map"] = state["error_map"].at[
+                    batch["img_idx"]].set(row.at[ic].set(vals))
             metrics = dict(terms, loss=loss)
             if mode == "scene":
                 metrics["mean_count"] = jnp.mean(out["counts"].astype(jnp.float32))
@@ -411,6 +430,9 @@ class Trainer:
         self.epoch += 1
         sched = resolve(opt, self.epoch, self.global_step)
         self._sched = sched
+        if opt.error_map and "error_map" not in self.state:
+            # lazy: sized by the dataset (provider.py:277-281; init 0.1)
+            self.state["error_map"] = jnp.full((len(dataset), 128 * 128), 0.1)
         K = self.sample_budget(sched) if mode == "scene" else 0
         step_fn = self._get_train_step(
             sched, K, sched.num_rays, dataset.H, dataset.W, dataset.C, mode)
@@ -428,7 +450,8 @@ class Trainer:
                     and self.global_step % sched.update_extra_interval == 0):
                 self.update_extra_state()
             self.key, sub = jax.random.split(self.key)
-            batch = {"pose": poses[i], "image": images[i], "intrinsics": intr}
+            batch = {"pose": poses[i], "image": images[i], "intrinsics": intr,
+                     "img_idx": jnp.asarray(i, jnp.int32)}
             if mode == "sphere":
                 batch["env_index"] = int(np.asarray(dataset.env_indices[i])) \
                     if not hasattr(dataset, "host_env_indices") \
@@ -539,11 +562,15 @@ class Trainer:
 
     def evaluate(self, dataset, *, max_images: int = 8, mode: str = "scene",
                  use_ema: bool = True, env_rot_degree_range=None,
-                 dump_dir: Optional[str] = None):
-        """PSNR eval; optional env-rotation sweep (utils.py:1295-1303) and
-        visual-item image dumps (utils.py:1382-1442)."""
+                 dump_dir: Optional[str] = None, track_best: bool = True):
+        """PSNR (+SSIM, +LPIPS when the package exists) eval; optional
+        env-rotation sweep (utils.py:1295-1303), visual-item image dumps
+        (utils.py:1382-1442), and best-checkpoint tracking (utils.py:1537-1557)."""
         from envidr_tpu.geometry.rays import linear_to_srgb
+        from envidr_tpu.train.metrics import LPIPSMeter, SSIMMeter
         meter = PSNRMeter()
+        ssim_meter = SSIMMeter()
+        lpips_meter = LPIPSMeter()
         n = min(len(dataset), max_images)
         rots = [None]
         if env_rot_degree_range:
@@ -564,13 +591,27 @@ class Trainer:
                     gt = dataset.images[i].astype(np.float32) / 255.0
                     if gt.shape[-1] == 4:
                         gt = gt[..., :3] * gt[..., 3:] + (1.0 - gt[..., 3:])
-                    meter.update(np.clip(pred, 0, 1), gt)
+                    pred_c = np.clip(pred, 0, 1)
+                    meter.update(pred_c, gt)
+                    ssim_meter.update(pred_c, gt)
+                    if lpips_meter.available:
+                        lpips_meter.update(pred_c, gt)
                 if dump_dir is not None:
                     self._dump_visuals(res, pred, dump_dir,
                                        f"{i:03d}" + (f"_rot{ri}" if rot is not None else ""))
+        psnr = meter.measure()
+        self.stats.setdefault("results", []).append(
+            {"psnr": psnr, "ssim": ssim_meter.measure(),
+             "lpips": lpips_meter.measure() if lpips_meter.available else None,
+             "epoch": self.epoch})
         if self.tb is not None:
-            self.tb.add_scalar("eval/psnr", meter.measure(), self.global_step)
-        return meter.measure()
+            self.tb.add_scalar("eval/psnr", psnr, self.global_step)
+            self.tb.add_scalar("eval/ssim", ssim_meter.measure(), self.global_step)
+        best = self.stats.get("best_result")
+        if track_best and (best is None or psnr > best):
+            self.stats["best_result"] = psnr
+            self.save_checkpoint(name="best", full=False)
+        return psnr
 
     def _dump_visuals(self, res, pred_srgb, outdir, tag):
         try:
@@ -625,7 +666,8 @@ class Trainer:
             self.key, sub = jax.random.split(self.key)
             batch = {"pose": dataset.device_poses[i % len(dataset)],
                      "image": dataset.device_images[i % len(dataset)],
-                     "intrinsics": intr}
+                     "intrinsics": intr,
+                     "img_idx": jnp.asarray(i % len(dataset), jnp.int32)}
             self.state, m = step_fn(self.state, batch, sub, w)
         jax.block_until_ready(m["loss"])
 
@@ -642,6 +684,8 @@ class Trainer:
             "ema": jax.tree.map(np.asarray, self.state["ema"]),
             "grid": jax.tree.map(np.asarray, tuple(self.state["grid"])),
         }
+        if "error_map" in self.state:
+            payload["error_map"] = np.asarray(self.state["error_map"])
         if full:
             payload["opt_state"] = jax.tree.map(
                 lambda x: np.asarray(x) if isinstance(x, jnp.ndarray) else x,
@@ -649,18 +693,26 @@ class Trainer:
         path = os.path.join(self.workspace, "checkpoints", f"{name}.ckpt")
         with open(path, "wb") as f:
             pickle.dump(payload, f)
-        self.stats["ckpts"].append(path)
-        # rolling window (utils.py:1518-1531)
-        while len(self.stats["ckpts"]) > self.opt.max_keep_ckpt:
-            old = self.stats["ckpts"].pop(0)
-            if os.path.exists(old):
-                os.remove(old)
+        if name != "best":
+            self.stats["ckpts"].append(path)
+            # rolling window (utils.py:1518-1531); best.ckpt is never rotated
+            while len(self.stats["ckpts"]) > self.opt.max_keep_ckpt:
+                old = self.stats["ckpts"].pop(0)
+                if os.path.exists(old):
+                    os.remove(old)
         return path
 
     def load_checkpoint(self, path: Optional[str] = None):
-        if path is None or path == "latest":
+        if path is None or path in ("latest", "best"):
             ckpt_dir = os.path.join(self.workspace, "checkpoints")
             cands = sorted(os.listdir(ckpt_dir)) if os.path.isdir(ckpt_dir) else []
+            if path == "best" and "best.ckpt" in cands:
+                cands = ["best.ckpt"]
+            else:
+                # prefer regular epoch checkpoints over emergency_* dumps
+                # (utils.py:1564-1572; round-1 picked emergency_* by sort order)
+                regular = [c for c in cands if c.startswith("ep")]
+                cands = regular or cands
             if not cands:
                 print("[trainer] no checkpoint found, starting fresh")
                 return False
@@ -675,6 +727,8 @@ class Trainer:
         self.state["ema"] = jax.tree.map(jnp.asarray, payload["ema"])
         self.state["grid"] = OccupancyGrid(
             *[jnp.asarray(x) for x in payload["grid"]])
+        if "error_map" in payload:
+            self.state["error_map"] = jnp.asarray(payload["error_map"])
         if "opt_state" in payload:
             try:
                 self.state["opt_state"] = jax.tree.map(

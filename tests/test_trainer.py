@@ -1,0 +1,129 @@
+"""Trainer loop coverage: train steps, error-map wiring, checkpoints, and the
+8-virtual-device GSPMD path (VERDICT r1: zero multi-device pytest coverage).
+
+Runs on the conftest-forced 8-device CPU platform with a tiny procedural
+dataset — seconds, not minutes.
+"""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from envidr_tpu.config import load_options, network_config
+from envidr_tpu.train.trainer import Trainer
+
+
+class TinyDataset:
+    """Minimal duck-typed dataset (NeRFDataset interface subset)."""
+
+    def __init__(self, n=3, H=24, W=24, seed=0):
+        rng = np.random.default_rng(seed)
+        self.H, self.W, self.C = H, W, 4
+        self.images = rng.integers(0, 255, (n, H, W, 4), dtype=np.uint8)
+        self.intrinsics = (30.0, 30.0, W / 2, H / 2)
+        poses = []
+        for i in range(n):
+            th = 2 * np.pi * i / n
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, 3] = [2 * np.cos(th), 2 * np.sin(th), 0.5]
+            z = -pose[:3, 3] / np.linalg.norm(pose[:3, 3])
+            x = np.cross([0, 0, 1.0], z)
+            x = x / np.linalg.norm(x)
+            y = np.cross(z, x)
+            pose[:3, 0], pose[:3, 1], pose[:3, 2] = x, y, z
+            poses.append(pose)
+        self.poses = np.stack(poses)
+        self.device_images = jnp.asarray(
+            self.images.reshape(n, H * W, 4))
+        self.device_poses = jnp.asarray(self.poses)
+
+    def __len__(self):
+        return len(self.poses)
+
+    def epoch_order(self, rng):
+        return rng.permutation(len(self))
+
+
+def tiny_opt(**kw):
+    base = dict(
+        path="/tmp/none", workspace="/tmp/envidr_test_trainer",
+        num_rays=64, max_steps=32, early_stop_steps=8, iters=100,
+        num_levels=4, level_dim=2, base_resolution=8, desired_resolution=32,
+        log2_hashmap_size=10, hidden_dim=16, hidden_dim_color=16,
+        hidden_dim_env=16, num_layers=2, num_layers_color=2,
+        encoding_pos="rolled_tiled", use_sdf=True,
+        eikonal_loss_weight=1e-3, mask_loss_weight=0.1,
+        eval_ray_chunk=256, eval_samples_budget=16,
+        update_extra_interval=4,
+    )
+    base.update(kw)
+    return load_options("", **base)
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return TinyDataset()
+
+
+def _leaf_delta(a, b):
+    return max(float(jnp.max(jnp.abs(x - y)))
+               for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+
+def test_train_epoch_updates_params(ds):
+    opt = tiny_opt()
+    trainer = Trainer(opt, network_config(opt))
+    before = jax.tree.map(jnp.copy, trainer.state["params"])
+    stats = trainer.train_one_epoch(ds)
+    assert np.isfinite(stats["loss"])
+    assert _leaf_delta(before, trainer.state["params"]) > 0
+
+
+def test_error_map_wiring(ds):
+    opt = tiny_opt(error_map=True, error_map_start_iter=0)
+    trainer = Trainer(opt, network_config(opt))
+    trainer.train_one_epoch(ds)
+    em = np.asarray(trainer.state["error_map"])
+    assert em.shape == (len(ds), 128 * 128)
+    # EMA pulled sampled cells away from the 0.1 init
+    assert (np.abs(em - 0.1) > 1e-6).any()
+    # importance sampling epoch must also run (same static flag path)
+    trainer.train_one_epoch(ds)
+    # checkpoint roundtrip carries the map
+    path = trainer.save_checkpoint()
+    t2 = Trainer(opt, network_config(opt))
+    t2.load_checkpoint(path)
+    assert np.allclose(np.asarray(t2.state["error_map"]),
+                       np.asarray(trainer.state["error_map"]))
+
+
+def test_best_checkpoint_and_latest_resolution(ds, tmp_path):
+    opt = tiny_opt(workspace=str(tmp_path))
+    trainer = Trainer(opt, network_config(opt), workspace=str(tmp_path))
+    trainer.train_one_epoch(ds)
+    psnr = trainer.evaluate(ds, max_images=1)
+    assert np.isfinite(psnr)
+    ckpt_dir = os.path.join(str(tmp_path), "checkpoints")
+    assert os.path.exists(os.path.join(ckpt_dir, "best.ckpt"))
+    # an emergency dump must not shadow regular epoch checkpoints
+    trainer.save_checkpoint()
+    trainer.save_checkpoint(name="zz_emergency_ep0001")
+    t2 = Trainer(opt, network_config(opt), workspace=str(tmp_path))
+    assert t2.load_checkpoint("latest")
+    assert t2.epoch == trainer.epoch
+
+
+def test_sharded_step_matches_single_device(ds):
+    """GSPMD ray-sharded train step vs unsharded, same seed (SURVEY §2.5)."""
+    from envidr_tpu.parallel.mesh import make_mesh
+    assert len(jax.devices()) >= 8, "conftest must force 8 virtual devices"
+    opt = tiny_opt(seed=7)
+    t_single = Trainer(opt, network_config(opt))
+    t_mesh = Trainer(opt, network_config(opt), mesh=make_mesh(8))
+    t_single.train_one_epoch(ds)
+    t_mesh.train_one_epoch(ds)
+    # same PRNG stream -> same rays; float reduction order may differ
+    d = _leaf_delta(t_single.state["params"], t_mesh.state["params"])
+    assert d < 5e-4, f"sharded params diverged from single-device: {d}"
