@@ -110,8 +110,11 @@ def main(argv=None):
     except FileNotFoundError:
         val_set = train_set
 
+    resumed = False
     if args.resume:
-        trainer.load_checkpoint(args.ckpt)
+        resumed = trainer.load_checkpoint(args.ckpt)
+    if opt.geometric_cue and not resumed:
+        trainer.train_geometric_cue()
     max_epochs = args.max_epochs
     if max_epochs is None:
         max_epochs = int(np.ceil(opt.iters / max(len(train_set), 1)))

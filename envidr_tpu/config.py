@@ -140,6 +140,7 @@ class Options:
     cos_anneal_ratio: float = 1.0
     warmup_steps: int = 0
     geometric_init: bool = False
+    geometric_cue: bool = False          # pre-fit SDF to a sphere (utils.py:1668)
     init_beta: float = 0.1
     beta_min: float = 0.0001
     beta_max: float = 1.0

@@ -239,6 +239,47 @@ class Trainer:
         self.state["grid"] = self._update_grid_fn(
             self.state["params"], self.state["grid"], sub, lm)
 
+    def train_geometric_cue(self, steps: int = 500, points: int = 131072,
+                            radius: Optional[float] = None):
+        """Pre-fit the SDF to an analytic sphere (``utils.py:1668-1692``).
+
+        With hash encodings the weight-space geometric init degenerates to a
+        constant field (the reference zeroes all but the first 3 encoding
+        channels, network.py:204-208) — regressing sdf(x)=|x|-r directly gives
+        a REAL sphere start.  Uses the main optimizer (warm adam moments, like
+        the reference); jittered random points instead of the full 128^3 sweep.
+        """
+        if not self.cfg.use_sdf:
+            return
+        r = radius if radius is not None else self.cfg.bound * self.opt.scale
+        optimizer = self.optimizer
+        cfg = self.cfg
+
+        @jax.jit
+        def cue_step(state, key):
+            pts = jax.random.uniform(key, (points, 3), minval=-cfg.bound,
+                                     maxval=cfg.bound)
+            def loss_fn(p):
+                sdf = forward_geometry(p, cfg, pts, None, None)["sdf"]
+                target = jnp.linalg.norm(pts, axis=-1) - r
+                return jnp.mean((sdf - target) ** 2)
+            loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+            updates, new_opt = optimizer.update(grads, state["opt_state"],
+                                                state["params"])
+            new_params = optax.apply_updates(state["params"], updates)
+            return dict(state, params=new_params, opt_state=new_opt), loss
+
+        for i in range(steps):
+            self.key, sub = jax.random.split(self.key)
+            self.state, loss = cue_step(self.state, sub)
+            if i % 8 == 7:
+                jax.block_until_ready(loss)
+        loss = float(loss)
+        # re-sync EMA to the cued params (the cue is an init, not training)
+        self.state["ema"] = jax.tree.map(jnp.copy, self.state["params"])
+        print(f"[trainer] geometric cue (sphere r={r:.3f}): mse={loss:.3e}")
+        return loss
+
     def mark_untrained_grid(self, poses, intrinsics):
         if not self.use_grid:
             return

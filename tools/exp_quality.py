@@ -52,6 +52,19 @@ EXPERIMENTS = {
     # random-bg variant of the winner candidate (reference parity check)
     "sdf_geo_randbg": dict(mask_loss_weight=1.0, lr=3e-3, plr=3e-3, slr=1e-3,
                            alpha_bg_mode="random", geometric_init=True),
+    # geometric CUE: pre-fit sdf(x)=|x|-r before training (utils.py:1668)
+    "sdf_cue": dict(mask_loss_weight=1.0, lr=3e-3, plr=3e-3, slr=1e-3,
+                    alpha_bg_mode="white", geometric_cue=True),
+    # cue + staged cauchy sharpening
+    "sdf_cue_staged": dict(mask_loss_weight=1.0, lr=3e-3, plr=3e-3, slr=1e-3,
+                           alpha_bg_mode="white", geometric_cue=True,
+                           cauchy_loss_weight=0.1, cauchy_loss_start_iter=5,
+                           eikonal_loss_weight=1e-3, eikonal_loss_start_iter=3),
+    # NeuS density instead of Laplace (cos-annealed alpha; from-scratch
+    # convergence is NeuS's home turf)
+    "neus": dict(mask_loss_weight=1.0, lr=3e-3, plr=3e-3, slr=1e-3,
+                 alpha_bg_mode="white", use_neus_sdf=True,
+                 cos_anneal_steps=500),
 }
 
 EPOCHS = int(os.environ.get("EXP_EPOCHS", "14"))
@@ -68,6 +81,8 @@ def run(name, overrides):
     train_set = NeRFDataset(opt.path, "train", scale=opt.scale, offset=opt.offset)
     val_set = NeRFDataset(opt.path, "val", scale=opt.scale, offset=opt.offset)
     trainer.mark_untrained_grid(train_set.poses, train_set.intrinsics)
+    if opt.geometric_cue:
+        trainer.train_geometric_cue()
 
     print(f"=== {name}: {overrides}", flush=True)
     for ep in range(EPOCHS):
