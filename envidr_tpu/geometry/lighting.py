@@ -39,11 +39,10 @@ def gen_light_xyz(envmap_h: int, envmap_w: int, envmap_radius: float = 1.0):
     Returns (xyz [H, W, 3], areas [H, W]).
     """
     lat_step_size = np.pi / (envmap_h + 2)
-    lng_step_size = 2 * np.pi / (envmap_w + 2)
+    lng_step_size = 2 * np.pi / envmap_w
     lats = np.linspace(
         np.pi / 2 - lat_step_size, -np.pi / 2 + lat_step_size, envmap_h)
-    lngs = np.linspace(
-        np.pi - lng_step_size, -np.pi + lng_step_size, envmap_w)
+    lngs = np.linspace(np.pi, -np.pi + lng_step_size, envmap_w)
     lngs, lats = np.meshgrid(lngs, lats)
     xyz = sph2cart(envmap_radius, lats, lngs)
     sin_colat = np.sin(np.pi / 2 - lats)

@@ -71,12 +71,24 @@ def main():
                    help="also render mirror-sphere r_images (renv training)")
     p.add_argument("--max-roughness", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--hdri-dir", default="",
+                   help="directory of user-supplied .hdr/.exr/.npy lat-long "
+                        "envmaps (the prepare_hdri.sh role); overrides the "
+                        "procedural bank")
+    p.add_argument("--env-res", type=int, default=64,
+                   help="env bank height (width = 2x)")
     args = p.parse_args()
 
     import imageio.v2 as imageio
 
     os.makedirs(args.out, exist_ok=True)
-    envs = make_env_bank(args.n_envs)
+    if args.hdri_dir:
+        from envidr_tpu.data.hdri import build_env_bank_from_dir
+        envs = build_env_bank_from_dir(args.hdri_dir, H=args.env_res,
+                                       W=2 * args.env_res)
+        print(f"[gen_env_dataset] {len(envs)} HDRIs from {args.hdri_dir}")
+    else:
+        envs = make_env_bank(args.n_envs, H=args.env_res, W=2 * args.env_res)
     np.savez(os.path.join(args.out, "envmaps.npz"), envs=envs)
     pres = [PrefilteredEnv(e) for e in envs]
     os.makedirs(os.path.join(args.out, "thumbnails"), exist_ok=True)
