@@ -31,8 +31,9 @@ def unwrap_env(params, cfg: NetworkConfig, *, env_h: int = 512,
                material=None, unwrap_roughness: float | None = None,
                env_index=0, chunk: int = 65536) -> np.ndarray:
     """Returns a [env_h, env_w, 3] linear-space environment image."""
-    # surface point straight down the -z axis toward the origin
-    cam = jnp.asarray([0.0, 0.0, -4.0])
+    # camera matches the reference's get_pose(theta=0, phi=0, radius=4)
+    # (provider.py:69-93): centers = [r sinθ sinφ, r cosθ, r sinθ cosφ] = (0,4,0)
+    cam = jnp.asarray([0.0, 4.0, 0.0])
     d = -cam / jnp.linalg.norm(cam)
     surf = cam + (4.0 - radius) * d                          # first sphere hit
     dirs = d[None, :]
@@ -88,7 +89,7 @@ def unwrap_env(params, cfg: NetworkConfig, *, env_h: int = 512,
                                  nd, env_index=env_index, n_env_enc=nee,
                                  roughness=jnp.broadcast_to(
                                      roughness, (m, 1)) if roughness is not None else None)
-        return aux["c_specular"]
+        return rgb  # diffuse + specular, as unwrap_env_sphere (sph_ray.py:299)
 
     out = []
     pad = (-n_pix) % chunk

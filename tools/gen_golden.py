@@ -152,7 +152,299 @@ def gen_demo_fixture():
     print("wrote demo_render.npz")
 
 
+# ---------------------------------------------------------------------------
+# Full-image sphere render + env unwrap goldens (VERDICT.md #4)
+# ---------------------------------------------------------------------------
+#
+# Freezes the reference's *sphere-mode pipeline behavior*
+# (``/root/reference/nerf/render_func/sph_ray.py:34-309``) image-for-image:
+# real pretrained rendering MLPs (``ckpts/rendering_mlps.pth``) + real env nets
+# (``ckpts/env_ckpts/env_net_{2,7}.pth``), driven by a *synthetic* geometry
+# net (freq-encoded SDF MLP with seeded weights — the reference ships no
+# geometry checkpoint for the env sphere).  All math below re-derives the
+# reference formulas in torch on CPU.
+
+SPH = dict(  # configs/neural_renderer.ini subset that shapes the math
+    radius=0.95, num_step=12, step_size=0.002, beta=0.1,
+    roughness_bias=-1.0, roughness_act_scale=1.0, roughness_scale=1.0,
+    diffuse_kappa_inv=0.64, light_intensity_scale=1.0, intensity_scale=1.0,
+    geo_feat_dim=12, env_feat_dim=12, deg_view=4, multires=6,
+)
+
+
+def _freq_t(x, degree):
+    """Reference FreqEncoder layout: [x, sin(2^d x), cos(2^d x) ...]."""
+    outs = [x]
+    for d in range(degree):
+        xb = x * (2.0 ** d)
+        outs += [torch.sin(xb), torch.cos(xb)]
+    return torch.cat(outs, dim=-1)
+
+
+def _laplace_sigma(sdf, beta):
+    """LaplaceDensity.density_func (network.py:32-37)."""
+    alpha = 1.0 / beta
+    return alpha * (0.5 + 0.5 * sdf.sign() * torch.expm1(-sdf.abs() / beta))
+
+
+def _synth_geometry_net():
+    """Seeded synthetic sphere-mode SDF net: freq(6)+material(5) -> 64x64 -> 14."""
+    torch.manual_seed(7)
+    in_dim = 3 + 3 * 2 * SPH["multires"] + 5
+    return _seq(in_dim, 1 + SPH["geo_feat_dim"] + 1, 64, 3)
+
+
+def _forward_geometry_t(sdf_net, xyzs, material):
+    """forward_geometry (network.py:381-495) for the sphere config."""
+    x = _freq_t(xyzs, SPH["multires"])
+    mat = torch.cat([
+        material["roughness"] + torch.zeros_like(x[..., :1]),
+        material["metallic"] + torch.zeros_like(x[..., :1]),
+        torch.as_tensor(material["color"][:3], dtype=x.dtype)
+        + torch.zeros_like(x[..., :3]),
+    ], dim=-1)                                   # concate_material_params order
+    h = torch.cat([x, mat], dim=-1)
+    for l, lin in enumerate(m for m in sdf_net if isinstance(m, nn.Linear)):
+        h = lin(h)
+        if l != 2:
+            h = F.relu(h)
+    sdf = h[..., 0]
+    geo_feat = F.normalize(h[..., 1:1 + SPH["geo_feat_dim"]], dim=-1)
+    raw_rough = h[..., 1 + SPH["geo_feat_dim"]:2 + SPH["geo_feat_dim"]]
+    roughness = (SPH["roughness_act_scale"]
+                 * F.softplus(raw_rough + SPH["roughness_bias"])
+                 * SPH["roughness_scale"])
+    return sdf, geo_feat, roughness
+
+
+def _run_mlp(layers, h, n_layers):
+    for l, lin in enumerate(layers):
+        h = lin(h)
+        if l != n_layers - 1:
+            h = F.relu(h)
+    return h
+
+
+def _load_linears(path, prefix=""):
+    """Reference .pth -> list of nn.Linear (handles `env_net0.weight` quirk)."""
+    import re
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "model" in sd:
+        sd = sd["model"]
+    pat = re.compile(re.escape(prefix) + r"\.?(\d+)\.weight$") if prefix \
+        else re.compile(r"(\d+)\.weight$")
+    found = sorted((int(m.group(1)), k) for k in sd if (m := pat.fullmatch(k)))
+    layers = []
+    for _, wk in found:
+        w = sd[wk]
+        lin = nn.Linear(w.shape[1], w.shape[0])
+        lin.weight.data = w
+        lin.bias.data = sd[wk[:-len("weight")] + "bias"]
+        layers.append(lin)
+    return layers
+
+
+def _forward_color_t(nets, enc, geo_feat, normals_enc, w_r_enc, n_dot_w_o,
+                     n_env_enc, env_layers):
+    """forward_color (network.py:524-698), sphere config: wo_viewdir,
+    normal_with_mlp, env branch, diffuse_with_env concat fusion."""
+    n_env_feat = F.normalize(_run_mlp(env_layers, n_env_enc, 4), dim=-1)
+    h_d = torch.cat([geo_feat, n_env_feat], dim=-1)
+    c_diffuse = torch.sigmoid(_run_mlp(nets["diffuse"], h_d, 2))
+
+    w_r_feat = F.normalize(_run_mlp(env_layers, w_r_enc, 4), dim=-1)
+    h = torch.cat([geo_feat, normals_enc, w_r_feat, n_dot_w_o], dim=-1)
+    c_specular = torch.sigmoid(_run_mlp(nets["color"], h, 3))
+    return (c_diffuse + c_specular) * SPH["intensity_scale"], c_diffuse, c_specular
+
+
+def gen_sphere_fixture():
+    """Full-image golden of run_sph (sph_ray.py:34-221)."""
+    from ide_encoder import IntegratedDirEncoder
+
+    sdf_net = _synth_geometry_net()
+    nets = {
+        "diffuse": _load_linears(f"{REF}/ckpts/rendering_mlps.pth", "diffuse_net"),
+        "color": _load_linears(f"{REF}/ckpts/rendering_mlps.pth", "color_net"),
+    }
+    env2 = _load_linears(f"{REF}/ckpts/env_ckpts/env_net_2.pth", "env_net")
+    env7 = _load_linears(f"{REF}/ckpts/env_ckpts/env_net_7.pth", "env_net")
+    enc = IntegratedDirEncoder(deg_view=SPH["deg_view"])
+
+    # camera at get_pose-style spherical position, 24x24 rays (incl. miss rays)
+    H = W = 24
+    fov = 0.8
+    focal = W / (2 * np.tan(fov / 2))
+    torch.manual_seed(3)
+    cam = torch.tensor([2.2, 2.0, 2.4])
+    fwd = F.normalize(-cam, dim=0)
+    up0 = torch.tensor([0.0, -1.0, 0.0])
+    right = F.normalize(torch.cross(fwd, up0, dim=0), dim=0)
+    up = F.normalize(torch.cross(right, fwd, dim=0), dim=0)
+    i, j = torch.meshgrid(torch.arange(W), torch.arange(H), indexing="xy")
+    xs = (i + 0.5 - W / 2) / focal
+    ys = (j + 0.5 - H / 2) / focal
+    dirs_cam = torch.stack([xs, ys, torch.ones_like(xs)], dim=-1).reshape(-1, 3)
+    rays_d = F.normalize(
+        dirs_cam @ torch.stack([right, up, fwd], dim=0), dim=-1)
+    rays_o = cam[None].expand_as(rays_d).contiguous()
+
+    # get_sphere_intersections (sph_ray.py:18-32)
+    r = SPH["radius"]
+    ray_cam_dot = torch.bmm(rays_d.view(-1, 1, 3), rays_o.view(-1, 3, 1)).squeeze(-1)
+    nabla = ray_cam_dot ** 2 - (rays_o.norm(2, 1, keepdim=True) ** 2 - r ** 2)
+    nabla_sqrt = torch.sqrt(nabla.clamp_min(0.0))
+    nears = -ray_cam_dot - nabla_sqrt
+    fars = -ray_cam_dot + nabla_sqrt
+    mask = (nabla >= -1e-4)[..., 0]
+
+    S = SPH["num_step"]
+    z_radius = SPH["step_size"] * (S - 1) / 2
+    z_vals = torch.linspace(-z_radius, z_radius, S)[None, :] + nears    # [N, S]
+    xyzs = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]  # [N, S, 3]
+
+    cases = [
+        dict(roughness=0.1, metallic=0.9, color=[0.8, 0.75, 0.7], env=0),
+        dict(roughness=0.6, metallic=0.2, color=[0.2, 0.5, 0.8], env=1),
+    ]
+    fix = dict(rays_o=rays_o.numpy(), rays_d=rays_d.numpy(),
+               mask=mask.numpy(), H=np.int32(H), W=np.int32(W))
+    for i_l, lin in enumerate(m for m in sdf_net if isinstance(m, nn.Linear)):
+        fix[f"sdf_net.{i_l}.w"] = lin.weight.detach().numpy()
+        fix[f"sdf_net.{i_l}.b"] = lin.bias.detach().numpy()
+
+    for ci, c in enumerate(cases):
+        env_layers = env2 if c["env"] == 0 else env7
+        material = {"roughness": torch.tensor(c["roughness"]),
+                    "metallic": torch.tensor(c["metallic"]),
+                    "color": c["color"]}
+        xyzs_g = xyzs.clone().requires_grad_(True)
+        sdf, geo_feat, roughness = _forward_geometry_t(sdf_net, xyzs_g, material)
+        normals = torch.autograd.grad(sdf.sum(), xyzs_g, create_graph=False)[0]
+        normals = F.normalize(normals, dim=-1, eps=1e-10)
+        with torch.no_grad():
+            sdf = sdf.detach()
+            geo_feat = geo_feat.detach()
+            roughness = roughness.detach()
+            sigmas = _laplace_sigma(sdf, SPH["beta"])
+
+            # get_color_mlp_extra_params (renderer.py:147-180)
+            d_b = rays_d[:, None, :].expand(-1, S, -1)
+            w_o = -d_b
+            normals_enc = normals                        # multires_normal=0
+            w_r = 2 * torch.sum(w_o * normals, dim=-1, keepdim=True) * normals - w_o
+            w_r_enc = enc(w_r, roughness) * SPH["light_intensity_scale"]
+            n_dot_w_o = torch.sum(normals * w_o, dim=-1, keepdim=True)
+            n_env_enc = enc(normals, SPH["diffuse_kappa_inv"]) \
+                * SPH["light_intensity_scale"]
+
+            rgbs, c_dif, c_spec = _forward_color_t(
+                nets, enc, geo_feat, normals_enc, w_r_enc, n_dot_w_o,
+                n_env_enc, env_layers)
+
+            # compositing (sph_ray.py:103-151), dense-masked equivalent
+            deltas = z_vals[..., 1:] - z_vals[..., :-1]
+            deltas = torch.cat(
+                [deltas, SPH["step_size"] * torch.ones_like(deltas[..., :1])], -1)
+            alphas = 1 - torch.exp(-deltas * sigmas)
+            alphas_shifted = torch.cat(
+                [torch.ones_like(alphas[..., :1]), 1 - alphas + 1e-15], -1)
+            weights = alphas * torch.cumprod(alphas_shifted, -1)[..., :-1]
+            weights = weights * mask[:, None]
+            weights_sum = weights.sum(-1, keepdim=True)
+
+            bg = torch.ones(rays_o.shape[0], 3)
+            ori_z = ((z_vals - nears) / (fars.max() - nears)).clamp(0, 1)
+            depth = (weights * ori_z).sum(-1) * mask
+
+            image = (weights[..., None] * rgbs).sum(-2) + (1 - weights_sum) * bg
+            image = torch.where(mask[:, None], image, bg)
+            dif_img = (weights[..., None] * c_dif).sum(-2) + (1 - weights_sum) * bg
+            dif_img = torch.where(mask[:, None], dif_img, bg)
+            spec_img = (weights[..., None] * c_spec).sum(-2) + (1 - weights_sum) * bg
+            spec_img = torch.where(mask[:, None], spec_img, bg)
+            n_img = (weights[..., None] * normals).sum(-2)
+            n_img = F.normalize(n_img, dim=-1)
+            n_img = torch.where(mask[:, None], n_img, torch.zeros_like(n_img))
+            rough_img = (weights[..., None] * roughness).sum(-2) * mask[:, None]
+
+        fix[f"case{ci}_material"] = np.array(
+            [c["roughness"], c["metallic"], *c["color"], c["env"]], np.float32)
+        fix[f"case{ci}_image"] = image.numpy()
+        fix[f"case{ci}_depth"] = depth.numpy()
+        fix[f"case{ci}_weights_sum"] = (weights_sum[..., 0] * mask).numpy()
+        fix[f"case{ci}_normal_image"] = n_img.numpy()
+        fix[f"case{ci}_diffuse_image"] = dif_img.numpy()
+        fix[f"case{ci}_specular_image"] = spec_img.numpy()
+        fix[f"case{ci}_roughness_image"] = rough_img.numpy()
+    np.savez(os.path.join(OUT, "sphere_render.npz"), **fix)
+    print("wrote sphere_render.npz")
+
+
+def gen_unwrap_fixture():
+    """64x128 env unwrap golden (unwrap_env_sphere, sph_ray.py:223-309)."""
+    from ide_encoder import IntegratedDirEncoder
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from envidr_tpu.geometry.lighting import gen_light_xyz  # formula-parity-tested
+
+    sdf_net = _synth_geometry_net()
+    nets = {
+        "diffuse": _load_linears(f"{REF}/ckpts/rendering_mlps.pth", "diffuse_net"),
+        "color": _load_linears(f"{REF}/ckpts/rendering_mlps.pth", "color_net"),
+    }
+    enc = IntegratedDirEncoder(deg_view=SPH["deg_view"])
+    env_h, env_w = 64, 128
+
+    # camera from get_pose(0, 0, 4) (provider.py:69-93): centers=(0,4,0)
+    rays_o = torch.tensor([[0.0, 4.0, 0.0]])
+    rays_d = F.normalize(-rays_o, dim=-1)
+    r = SPH["radius"]
+    ray_cam_dot = torch.bmm(rays_d.view(-1, 1, 3), rays_o.view(-1, 3, 1)).squeeze(-1)
+    nabla = ray_cam_dot ** 2 - (rays_o.norm(2, 1, keepdim=True) ** 2 - r ** 2)
+    nears = -ray_cam_dot - torch.sqrt(nabla.clamp_min(0.0))
+    xyzs = rays_o + rays_d * nears                                   # [1, 3]
+
+    lxyz, _ = gen_light_xyz(env_h, env_w, 1.0)
+    lxyz = lxyz.reshape(-1, 3)[:, [1, 2, 0]]                         # sph_ray:251
+    w_r = torch.from_numpy(
+        (lxyz / np.linalg.norm(lxyz, axis=-1, keepdims=True))).float()
+    n_pix = w_r.shape[0]
+
+    material = {"roughness": torch.tensor(0.4), "metallic": torch.tensor(0.8),
+                "color": [0.7, 0.6, 0.5]}
+    fix = dict(material=np.array([0.4, 0.8, 0.7, 0.6, 0.5], np.float32),
+               env_h=np.int32(env_h), env_w=np.int32(env_w))
+    for i_l, lin in enumerate(m for m in sdf_net if isinstance(m, nn.Linear)):
+        fix[f"sdf_net.{i_l}.w"] = lin.weight.detach().numpy()
+        fix[f"sdf_net.{i_l}.b"] = lin.bias.detach().numpy()
+
+    with torch.no_grad():
+        sdf, geo_feat, roughness = _forward_geometry_t(sdf_net, xyzs, material)
+        geo_feats = geo_feat.repeat(n_pix, 1)
+        dirs = rays_d
+        normals = -dirs.repeat(n_pix, 1)                             # sph_ray:287
+
+        normals_enc = normals
+        n_dot_w_o = torch.sum(normals * -dirs, dim=-1, keepdim=True)
+        n_env_enc = enc(normals, SPH["diffuse_kappa_inv"]) \
+            * SPH["light_intensity_scale"]
+        w_r_enc = enc(w_r, roughness)                                # sph_ray:297
+
+        for ei, env_i in enumerate((2, 7)):
+            env_layers = _load_linears(
+                f"{REF}/ckpts/env_ckpts/env_net_{env_i}.pth", "env_net")
+            rgbs, _, _ = _forward_color_t(
+                nets, enc, geo_feats, normals_enc, w_r_enc, n_dot_w_o,
+                n_env_enc, env_layers)
+            fix[f"env{env_i}_image"] = rgbs.reshape(env_h, env_w, 3).numpy()
+    fix["roughness"] = roughness.numpy()
+    np.savez(os.path.join(OUT, "unwrap_env.npz"), **fix)
+    print("wrote unwrap_env.npz")
+
+
 if __name__ == "__main__":
     torch.manual_seed(0)
     gen_ide_fixture()
     gen_demo_fixture()
+    gen_sphere_fixture()
+    gen_unwrap_fixture()
