@@ -65,6 +65,29 @@ EXPERIMENTS = {
     "neus": dict(mask_loss_weight=1.0, lr=3e-3, plr=3e-3, slr=1e-3,
                  alpha_bg_mode="white", use_neus_sdf=True,
                  cos_anneal_steps=500),
+    # The toaster recipe (configs/scenes/toaster.ini): FROZEN pretrained
+    # rendering MLPs (geometry must form surfaces to explain appearance —
+    # fog can't repaint frozen color nets), coarse-to-fine hash levels,
+    # staged cauchy/backsdf/eikonal.  Epoch numbers scaled 500 -> 30.
+    "sdf_toaster": dict(
+        mask_loss_weight=1.0, lr=3e-3, plr=3e-3, slr=1e-3,
+        alpha_bg_mode="white", geometric_cue=True,
+        color_mlp_path="/root/reference/ckpts/rendering_mlps.pth",
+        resume_mlps=("specular", "diffuse"), frozen_mlps=("specular", "diffuse"),
+        enabled_levels_sched=(10, 5, 20),
+        cauchy_loss_weight=0.1, cauchy_loss_start_iter=6,
+        backsdf_loss_weight=5e-3, backsdf_loss_start_iter=6,
+        backsdf_thresh=0.01,
+        eikonal_loss_weight=1e-3, eikonal_loss_start_iter=3),
+    # same but color nets free (ablation: is freezing the decisive bit?)
+    "sdf_toaster_free": dict(
+        mask_loss_weight=1.0, lr=3e-3, plr=3e-3, slr=1e-3,
+        alpha_bg_mode="white", geometric_cue=True,
+        enabled_levels_sched=(10, 5, 20),
+        cauchy_loss_weight=0.1, cauchy_loss_start_iter=6,
+        backsdf_loss_weight=5e-3, backsdf_loss_start_iter=6,
+        backsdf_thresh=0.01,
+        eikonal_loss_weight=1e-3, eikonal_loss_start_iter=3),
 }
 
 EPOCHS = int(os.environ.get("EXP_EPOCHS", "14"))
