@@ -39,7 +39,8 @@ class NeRFDataset:
     """Loads a split into host numpy; ``.device_images`` promotes to device."""
 
     def __init__(self, root: str, split: str = "train", *, scale: float = 0.33,
-                 offset=(0, 0, 0), downscale: int = 1, test_skip: int = 1):
+                 offset=(0, 0, 0), downscale: int = 1, test_skip: int = 1,
+                 process_shard: bool = False):
         self.root = root
         self.split = split
         tpath = os.path.join(root, f"transforms_{split}.json")
@@ -51,6 +52,12 @@ class NeRFDataset:
         frames = meta["frames"]
         if split != "train" and test_skip > 1:
             frames = frames[::test_skip]
+        if process_shard:
+            # Multi-host data sharding (SURVEY §2.5): each host loads only its
+            # 1/P of the training images (reference DDP semantics — every rank
+            # draws its ray batch from its own image subset, utils.py:1352).
+            import jax
+            frames = frames[jax.process_index()::max(jax.process_count(), 1)]
 
         poses, images = [], []
         for frame in frames:

@@ -59,6 +59,30 @@ def replicate_tree(mesh: Optional[Mesh], tree):
     return jax.device_put(tree, s)
 
 
+def global_from_local(mesh: Optional[Mesh], *arrays):
+    """Per-process local ray shards -> global ray-sharded arrays.
+
+    The multi-host analogue of the reference's DDP batch split
+    (``utils.py:1352-1371``): each host samples its ``N/P`` rays from its own
+    image subset (``NeRFDataset(process_shard=True)``); this assembles them
+    into global ``[N, ...]`` arrays sharded on the ``data`` axis so one jitted
+    step consumes them and GSPMD psums the gradients across hosts over DCN.
+    Single-process: a plain device_put onto the mesh (no-op reshard).
+    """
+    if mesh is None:
+        return arrays if len(arrays) > 1 else arrays[0]
+    import numpy as np
+    out = []
+    for a in arrays:
+        sharding = NamedSharding(mesh, P(DATA_AXIS, *([None] * (a.ndim - 1))))
+        if jax.process_count() > 1:
+            out.append(jax.make_array_from_process_local_data(
+                sharding, np.asarray(a)))
+        else:
+            out.append(jax.device_put(a, sharding))
+    return tuple(out) if len(out) > 1 else out[0]
+
+
 def initialize_multihost(coordinator: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None):

@@ -571,6 +571,8 @@ class Trainer:
     def _eval_fn(self, mode: str):
         cfg = self.cfg
         opt = self.opt
+        mesh = self.mesh
+        from envidr_tpu.parallel.mesh import shard_rays
         if mode == "scene":
             ropts = SceneRenderOptions(
                 max_steps=opt.max_steps, num_samples=opt.eval_samples_budget,
@@ -582,6 +584,10 @@ class Trainer:
             @jax.jit
             def fn(params, bitfield, rays_o, rays_d, bg, aabb, material,
                    env_index, env_rot=None):
+                # eval rays ride the same data mesh as training; the rendered
+                # chunks come back globally addressable (GSPMD's answer to the
+                # reference's dist.all_gather eval, utils.py:1353-1371)
+                rays_o, rays_d = shard_rays(mesh, rays_o, rays_d)
                 out = render_scene(params, cfg, ropts, bitfield, rays_o, rays_d,
                                    bg, aabb, env_rot_radian=env_rot)
                 keep = ("image", "depth", "weights_sum", "normal_image",
@@ -593,6 +599,7 @@ class Trainer:
             @jax.jit
             def fn(params, bitfield, rays_o, rays_d, bg, aabb, material,
                    env_index, env_rot=None):
+                rays_o, rays_d = shard_rays(mesh, rays_o, rays_d)
                 out = render_sphere(params, cfg, ropts, rays_o, rays_d, bg,
                                     material=material, env_index=env_index,
                                     env_rot_radian=env_rot)
