@@ -293,6 +293,7 @@ class Options:
     numerical_normals: bool = False      # central-difference SDF normals (TPU fast path)
     numerical_normals_eps: float = 0.005
     hash_table_dtype: str = "float32"    # 'bfloat16' for half gather bytes
+    hash_scatter_impl: str = "xla"       # 'mixed': Pallas VMEM scatter levels
     eval_samples_budget: int = 256
     eval_ray_chunk: int = 4096
     mesh_shape: Tuple[int, ...] = ()     # data-parallel device mesh (empty: all devices)
@@ -426,4 +427,5 @@ def network_config(opt: Options) -> NetworkConfig:
         numerical_normals=opt.numerical_normals,
         numerical_normals_eps=opt.numerical_normals_eps,
         hash_table_dtype=opt.hash_table_dtype,
+        hash_scatter_impl=opt.hash_scatter_impl,
     )

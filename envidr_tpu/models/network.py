@@ -139,6 +139,7 @@ class NetworkConfig:
     numerical_normals: bool = False
     numerical_normals_eps: float = 0.005
     hash_table_dtype: str = "float32"      # 'bfloat16': halve gather bytes
+    hash_scatter_impl: str = "xla"         # 'mixed': Pallas VMEM scatter levels
 
     # ----- derived dims -----------------------------------------------------
     @property
@@ -150,7 +151,8 @@ class NetworkConfig:
             base_resolution=self.base_resolution,
             desired_resolution=int(self.bound * self.desired_resolution),
             log2_hashmap_size=self.log2_hashmap_size, interpolation=interp,
-            indexing=indexing, table_dtype=self.hash_table_dtype)
+            indexing=indexing, table_dtype=self.hash_table_dtype,
+            scatter_impl=self.hash_scatter_impl)
 
     @property
     def pos_enc_dim(self) -> int:

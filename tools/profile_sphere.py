@@ -1,0 +1,80 @@
+"""Sphere-mode (env pretrain) step profile: compile time + step time.
+
+Round-1 facts (CLAUDE.md): sphere-mode compile was 20-26 min (second-order
+eikonal graph through hash gathers) and the step ~2.3 s at 16384 rays — both
+made the neural-renderer pretrain non-iterable (3 epochs in round 1).
+The hand-written rolled_tiled VJP (4c63f0b) was built to shrink exactly this
+graph.  This measures, on the chip:
+
+  * compile wall-time of the sphere train step (analytic normals)
+  * per-step wall-time over 5 steps
+  * same with numerical_normals=True (first-order escape hatch)
+
+Run (single-tenant TPU):  timeout 3600 python -u tools/profile_sphere.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import envidr_tpu
+envidr_tpu.apply_device_env()
+envidr_tpu.enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+from envidr_tpu.config import load_options, network_config
+from envidr_tpu.data.env_dataset import EnvDataset
+from envidr_tpu.train.trainer import Trainer
+from envidr_tpu.train.schedules import resolve
+
+print(f"devices: {jax.devices()}", flush=True)
+
+
+def profile(name, **overrides):
+    opt = load_options("configs/neural_renderer_synth.ini",
+                       workspace=f"/tmp/profile_sphere_{name}", **overrides)
+    cfg = network_config(opt)
+    trainer = Trainer(opt, cfg, workspace=f"/tmp/profile_sphere_{name}")
+    ds = EnvDataset(opt.path, "train")
+    sched = resolve(opt, 1, 0)
+    trainer._sched = sched
+    step_fn = trainer._get_train_step(sched, 0, sched.num_rays, ds.H, ds.W,
+                                      ds.C, "sphere")
+    import numpy as np
+    batch = {"pose": ds.device_poses[0], "image": ds.device_images[0],
+             "intrinsics": jnp.asarray(ds.intrinsics, jnp.float32),
+             "img_idx": jnp.asarray(0, jnp.int32),
+             "env_index": int(ds.host_env_indices[0])
+             if hasattr(ds, "host_env_indices")
+             else int(np.asarray(ds.env_indices[0])),
+             "material": ds.materials[0]}
+    r_all = getattr(ds, "device_r_images", None)
+    if r_all is not None:
+        batch["r_images"] = r_all[0]
+    weights = {k: jnp.asarray(v) for k, v in sched.weights.items()}
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.time()
+    key, sub = jax.random.split(key)
+    state, m = step_fn(trainer.state, batch, sub, weights)
+    _ = float(m["loss"])
+    compile_s = time.time() - t0
+    print(f"[{name}] compile+first step: {compile_s:.1f}s", flush=True)
+
+    t0 = time.time()
+    for i in range(5):
+        key, sub = jax.random.split(key)
+        state, m = step_fn(state, batch, sub, weights)
+    _ = float(m["loss"])
+    dt = (time.time() - t0) / 5
+    print(f"[{name}] step: {dt*1e3:.0f} ms  "
+          f"({sched.num_rays/dt:.0f} rays/s)", flush=True)
+    del trainer, state
+    return dt
+
+
+profile("analytic")
+profile("numerical", numerical_normals=True)
