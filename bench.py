@@ -76,12 +76,27 @@ def main():
     dt = time.time() - t0
 
     rays_per_sec = sched.num_rays * n_steps / dt
-    print(json.dumps({
+    out = {
         "metric": "train_rays_per_sec_fwd_bwd",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s/chip",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
-    }))
+    }
+    # GSPMD scaling probe: sharded-step overhead on an 8-virtual-device CPU
+    # mesh (the only multi-device signal available without a pod slice; real
+    # >=2-host efficiency is a BASELINE.md target for pod hardware).
+    try:
+        import subprocess
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        env["JAX_PLATFORMS"] = "cpu"
+        p = subprocess.run(
+            [sys.executable, os.path.join(root, "tools", "bench_scaling.py")],
+            capture_output=True, text=True, timeout=600, env=env)
+        row = json.loads(p.stdout.strip().splitlines()[-1])
+        out["gspmd_8vdev_step_overhead"] = row["ratio"]
+    except Exception:
+        pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

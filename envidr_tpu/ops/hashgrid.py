@@ -221,8 +221,11 @@ def _w_and_grads(sel, dsel):
 
 
 def _gather_rows(blocked, base):
-    """[L,S,8C] x [L,B] -> [L,B,8C] (the one batched gather)."""
-    return jax.vmap(lambda t, i: jnp.take(t, i, axis=0))(blocked, base)
+    """[L,S,8C] x [L,B] -> [L,B,8C] (the one batched gather).
+
+    base is always mod the level size — skip XLA's per-row clamp."""
+    return jax.vmap(lambda t, i: t.at[i].get(mode="promise_in_bounds"))(
+        blocked, base)
 
 
 def _scatter_rows(blocked_shape_like, base, rows, spec: HashGridSpec = None):
@@ -459,7 +462,8 @@ def hash_encode(
             for d in range(1, D):
                 idx_hash = idx_hash ^ (cpos[:, d] * primes_j[d])
             idx = jnp.where(is_dense, idx_dense, idx_hash) % hm
-            vals = jnp.take(table, idx.astype(jnp.int32), axis=0)  # [B, C]
+            vals = table.at[idx.astype(jnp.int32)].get(
+                mode="promise_in_bounds")                         # [B, C]
             acc = acc + weight[..., None] * vals
         return acc                                                # [B, C]
 
@@ -474,7 +478,8 @@ def hash_encode(
             w = frac * frac * (3.0 - 2.0 * frac) if smooth else frac
             strides = jnp.stack([jnp.uint32(1), res, res * res])[:D]
             base = jnp.sum(pg * strides[None, :], axis=-1) % hm       # [B]
-            rows = jnp.take(blocked, base.astype(jnp.int32), axis=0)  # [B, 8C]
+            rows = blocked.at[base.astype(jnp.int32)].get(
+                mode="promise_in_bounds")                             # [B, 8C]
             rows = rows.astype(x.dtype).reshape(-1, 2**D, C)
             wcs = []
             for corner in range(2**D):

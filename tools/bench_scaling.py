@@ -1,0 +1,86 @@
+"""8-virtual-device GSPMD scaling probe (run on CPU; no multi-chip hw here).
+
+Times the ray-sharded train step on a 1-device vs 8-virtual-device mesh and
+prints one JSON line {"ratio": t8/t1}.  On virtual CPU devices this measures
+GSPMD partitioning/collective overhead, not real scaling (all "devices" share
+the same cores) — a ratio near 1.0 means the sharded program adds ~no
+overhead, which is the only scaling signal measurable in this image
+(BASELINE.md: >80% efficiency at 2+ hosts needs a real pod slice).
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+from envidr_tpu.config import load_options, network_config
+from envidr_tpu.train.trainer import Trainer
+from envidr_tpu.parallel.mesh import make_mesh
+
+
+class _Tiny:
+    def __init__(self, n=2, H=64, W=64):
+        rng = np.random.default_rng(0)
+        self.H, self.W, self.C = H, W, 4
+        self.intrinsics = (60.0, 60.0, W / 2, H / 2)
+        self.images = rng.integers(0, 255, (n, H, W, 4), dtype=np.uint8)
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = 2.0
+        self.poses = np.stack([pose] * n)
+        self.device_images = jnp.asarray(self.images.reshape(n, H * W, 4))
+        self.device_poses = jnp.asarray(self.poses)
+
+    def __len__(self):
+        return len(self.poses)
+
+    def epoch_order(self, rng):
+        return np.arange(len(self))
+
+
+def time_steps(mesh):
+    opt = load_options(
+        "", path="/tmp/none", workspace="/tmp/envidr_bench_scaling",
+        num_rays=1024, max_steps=64, early_stop_steps=16, iters=100,
+        num_levels=8, level_dim=2, base_resolution=8, desired_resolution=128,
+        log2_hashmap_size=14, hidden_dim=32, hidden_dim_color=32,
+        hidden_dim_env=32, encoding_pos="rolled_tiled", use_sdf=True,
+        eikonal_loss_weight=1e-3, update_extra_interval=0)
+    cfg = network_config(opt)
+    trainer = Trainer(opt, cfg, mesh=mesh)
+    ds = _Tiny()
+    from envidr_tpu.train.schedules import resolve
+    sched = resolve(opt, 1, 0)
+    trainer._sched = sched
+    step = trainer._get_train_step(sched, 16, sched.num_rays, ds.H, ds.W,
+                                   ds.C, "scene")
+    batch = {"pose": ds.device_poses[0], "image": ds.device_images[0],
+             "intrinsics": jnp.asarray(ds.intrinsics, jnp.float32),
+             "img_idx": jnp.asarray(0, jnp.int32)}
+    weights = {k: jnp.asarray(v) for k, v in sched.weights.items()}
+    key = jax.random.PRNGKey(0)
+    state = trainer.state
+    for i in range(2):
+        key, sub = jax.random.split(key)
+        state, m = step(state, batch, sub, weights)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(10):
+        key, sub = jax.random.split(key)
+        state, m = step(state, batch, sub, weights)
+    jax.block_until_ready(m["loss"])
+    return (time.perf_counter() - t0) / 10
+
+
+t1 = time_steps(None)
+t8 = time_steps(make_mesh(8))
+print(json.dumps({"ratio": round(t8 / t1, 3), "t1_ms": round(t1 * 1e3, 1),
+                  "t8_ms": round(t8 * 1e3, 1)}))

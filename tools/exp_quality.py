@@ -65,6 +65,12 @@ EXPERIMENTS = {
     "neus": dict(mask_loss_weight=1.0, lr=3e-3, plr=3e-3, slr=1e-3,
                  alpha_bg_mode="white", use_neus_sdf=True,
                  cos_anneal_steps=500),
+    # the round-2 winner recipe, long-run edition: NeuS alpha + cos-anneal
+    # escaped the fog equilibrium (14-ep matrix: val 18.6 and climbing while
+    # every Laplace config plateaued at 13.6); 60 epochs targets >25 dB.
+    "neus_long": dict(mask_loss_weight=1.0, lr=3e-3, plr=3e-3, slr=1e-3,
+                      alpha_bg_mode="white", use_neus_sdf=True,
+                      cos_anneal_steps=500),
     # The toaster recipe (configs/scenes/toaster.ini): FROZEN pretrained
     # rendering MLPs (geometry must form surfaces to explain appearance —
     # fog can't repaint frozen color nets), coarse-to-fine hash levels,
