@@ -717,7 +717,9 @@ class Trainer:
                      "intrinsics": intr,
                      "img_idx": jnp.asarray(i % len(dataset), jnp.int32)}
             self.state, m = step_fn(self.state, batch, sub, w)
+            self.global_step += 1
         jax.block_until_ready(m["loss"])
+        return {"loss": float(m["loss"]), "steps": n_steps}
 
     # ---------------- checkpoints ----------------
 
