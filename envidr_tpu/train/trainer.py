@@ -224,10 +224,11 @@ class Trainer:
 
     @functools.cached_property
     def _update_grid_fn(self):
-        @jax.jit
-        def fn(params, grid: OccupancyGrid, key, lm):
+        @functools.partial(jax.jit, static_argnames=("fraction",))
+        def fn(params, grid: OccupancyGrid, key, lm, fraction=1):
             return update_grid(grid, self.grid_spec,
-                               self._density_fn(params, lm), key)
+                               self._density_fn(params, lm), key,
+                               fraction=fraction)
         return fn
 
     def update_extra_state(self):
@@ -236,8 +237,12 @@ class Trainer:
         self.key, sub = jax.random.split(self.key)
         lm = level_mask(self._sched.enabled_levels, self.cfg.num_levels) \
             if hasattr(self, "_sched") else None
+        # first 16 updates sweep the full grid; afterwards a rotating 1/4
+        # slab per update (renderer.py:306-310's warmup-then-subsample)
+        it = int(self.state["grid"].iter_density)
         self.state["grid"] = self._update_grid_fn(
-            self.state["params"], self.state["grid"], sub, lm)
+            self.state["params"], self.state["grid"], sub, lm,
+            fraction=1 if it < 16 else 4)
 
     def train_geometric_cue(self, steps: int = 500, points: int = 131072,
                             radius: Optional[float] = None):
