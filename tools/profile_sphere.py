@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from envidr_tpu.config import load_options, network_config
-from envidr_tpu.data.env_dataset import EnvDataset
+from envidr_tpu.data.env_dataset import EnvSphereDataset as EnvDataset
 from envidr_tpu.train.trainer import Trainer
 from envidr_tpu.train.schedules import resolve
 
