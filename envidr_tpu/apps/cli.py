@@ -36,6 +36,9 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest workspace checkpoint")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="override any Options field (repeatable), e.g. "
+                        "--set hash_scatter_impl=mixed --set num_rays=8192")
     return p
 
 
@@ -53,6 +56,10 @@ def main(argv=None):
             overrides[k] = v
     if args.eval_interval is not None:
         overrides["eval_interval"] = args.eval_interval
+    from envidr_tpu.config import _parse_value
+    for kv in args.set:
+        k, _, v = kv.partition("=")
+        overrides[k.strip()] = _parse_value(v.strip())
     opt = load_options(args.config, **overrides)
 
     import envidr_tpu
