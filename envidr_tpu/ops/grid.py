@@ -98,14 +98,17 @@ def update_grid(
     density_fn: [M, 3] world xyz -> [M] sigma (already density_scale'd or not —
     we apply spec.density_scale here, mirroring renderer.py:304).
 
-    ``fraction > 1`` updates only a 1/fraction contiguous slab of cells per
-    call, rotating with ``grid.iter_density`` — the TPU replacement for the
-    reference's post-warmup random/occupied subsampling (renderer.py:308-336).
-    A 128^3 full sweep is ~33M hash-gather rows ≈ 0.8 s on a v5e chip (the
-    gather IS the cost; the MLP is trivial), so the slab form keeps the same
-    coverage cadence at 1/fraction the cost with a dense slice-update (no
-    scatter, unlike random subsampling which would re-introduce the worst op
-    on the chip)."""
+    ``fraction > 1`` re-evaluates only a 1/fraction contiguous slab of cells
+    per call (rotating with ``grid.iter_density``) while the decay still
+    applies to EVERY trained cell — the TPU replacement for the reference's
+    post-warmup random+occupied subsampling (renderer.py:308-336).  The
+    occupied-biased half of the reference's sampling exists precisely so that
+    stale high-density cells keep decaying between refreshes; global decay +
+    rotating refresh reproduces that pruning dynamic (measured: slab-local
+    decay stalled occupancy pruning for ~10 epochs) without the scatter that
+    random-cell updates would need.  A 128^3 full sweep is ~33M hash-gather
+    rows ≈ 0.8 s on a v5e chip (the gather IS the cost; the MLP is trivial);
+    the slab form is 1/fraction of that, all dense slice ops."""
     H = spec.grid_size
     coords = all_cell_coords(H)
     n = coords.shape[0]
@@ -126,13 +129,19 @@ def update_grid(
         new_density.append(jnp.concatenate(sigmas))
     tmp = jnp.stack(new_density)                           # [CAS, n_slab]
 
-    old = (grid.density if fraction == 1 else
-           jax.lax.dynamic_slice_in_dim(grid.density, slab_i, n_slab, 1))
-    valid = (old >= 0) & (tmp >= 0)
-    new_slab = jnp.where(valid, jnp.maximum(old * decay, tmp), old)
-    density = (new_slab if fraction == 1 else
-               jax.lax.dynamic_update_slice_in_dim(grid.density, new_slab,
-                                                   slab_i, 1))
+    if fraction == 1:
+        old = grid.density
+        valid = (old >= 0) & (tmp >= 0)
+        density = jnp.where(valid, jnp.maximum(old * decay, tmp), old)
+    else:
+        # decay every trained cell, refresh the slab (see docstring)
+        decayed = jnp.where(grid.density >= 0, grid.density * decay,
+                            grid.density)
+        old = jax.lax.dynamic_slice_in_dim(decayed, slab_i, n_slab, 1)
+        valid = (old >= 0) & (tmp >= 0)
+        new_slab = jnp.where(valid, jnp.maximum(old, tmp), old)
+        density = jax.lax.dynamic_update_slice_in_dim(decayed, new_slab,
+                                                      slab_i, 1)
     mean_density = jnp.mean(jnp.clip(density, 0.0))
     thresh = jnp.minimum(mean_density, spec.density_thresh)
     bitfield = density > thresh

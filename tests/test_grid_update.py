@@ -30,12 +30,22 @@ def test_slab_rotation_covers_full_grid():
     assert int(part.iter_density) == 4
 
 
-def test_slab_only_touches_its_quarter():
+def test_slab_decays_globally_refreshes_locally():
+    """Out-of-slab trained cells must still decay every partial update (the
+    pruning dynamic of the reference's occupied-biased resampling); only the
+    rotating slab gets re-evaluated."""
     spec = GridSpec(grid_size=32)
     g0 = init_grid(spec)
-    g0 = g0._replace(density=jnp.full_like(g0.density, 0.5))
+    # slab 1 covers x in [8,16)/32 -> crosses the ball; slab 0 would miss it
+    g0 = g0._replace(density=jnp.full_like(g0.density, 0.5),
+                     iter_density=jnp.asarray(1, jnp.int32))
     g1 = update_grid(g0, spec, _density_fn, jax.random.PRNGKey(1),
-                     fraction=4)
-    changed = np.asarray(g1.density != g0.density)
-    n = changed.shape[1]
-    assert not changed[:, n // 4:].any()          # slab 0 only
+                     decay=0.9, fraction=4)
+    d0 = np.asarray(g0.density)
+    d1 = np.asarray(g1.density)
+    n = d0.shape[1]
+    out = np.r_[0:n // 4, n // 2:n]
+    # outside the slab: pure decay
+    np.testing.assert_allclose(d1[:, out], d0[:, out] * 0.9, rtol=1e-6)
+    # inside the slab: cells in the high-density ball were refreshed upward
+    assert (d1[:, n // 4:n // 2] > 1.0).any()
