@@ -95,7 +95,8 @@ def main(argv=None):
                                     offset=opt.offset,
                                     with_renv=opt.train_renv)
         return NeRFDataset(opt.path, split, scale=opt.scale, offset=opt.offset,
-                           downscale=args.downscale, test_skip=test_skip)
+                           downscale=args.downscale, test_skip=test_skip,
+                           fp16_preload=opt.fp16 and opt.preload)
 
     if args.test:
         if not args.swap_env:

@@ -47,13 +47,14 @@ class HashGridSpec:
     # 'rolled_tiled': TPU-fast path — tiled (dense-mod-S) indexing; the 8
     #   corner offsets become STATIC rolls of each level's table, so a
     #   per-step corner-blocked table [S, 8C] serves each sample with ONE
-    #   row gather (8x fewer gather/scatter rows; XLA row-gathers are the
-    #   bottleneck op on TPU).  Dense levels (res^3 <= S) are numerically
+    #   row gather (8x fewer gather/scatter rows; both ops are per-row
+    #   latency-bound on TPU — gather ~24ns/row, scatter ~100ns/row).  Dense levels (res^3 <= S) are numerically
     #   IDENTICAL to the reference; hashed levels trade prime-XOR collisions
     #   for tiled aliasing (torch-ngp's gridtype='tiled').
     indexing: str = "hash"
-    # 'bfloat16' halves the gather/scatter bytes of the rolled path (XLA
-    # gathers are byte-capped ~2 GB/s); interpolation still runs in f32.
+    # 'bfloat16' halves gather/scatter bytes.  Measured (tools/bench_gs3):
+    # gathers are row-LATENCY-bound (~24ns/row), so bf16 does NOT speed them
+    # up (batched bf16 gather is ~25% slower); kept for memory headroom only.
     table_dtype: str = "float32"
     # Hand-written first+second-order VJP for the rolled path (mirrors the
     # reference's _hash_encode_second_backward plumbing, hashgrid.py:55-104 +

@@ -365,7 +365,10 @@ class Trainer:
             rays_o = rays["rays_o"][0]
             rays_d = rays["rays_d"][0]
             pix = jnp.take(batch["image"], rays["inds"][0], axis=0)  # [N, C] uint8
-            pix = pix.astype(jnp.float32) / 255.0
+            # uint8 preload -> /255; fp16 preload is already normalized
+            pix = (pix.astype(jnp.float32) / 255.0
+                   if jnp.issubdtype(pix.dtype, jnp.integer)
+                   else pix.astype(jnp.float32))
             if mesh is not None:
                 from envidr_tpu.parallel.mesh import shard_rays
                 rays_o, rays_d, pix = shard_rays(mesh, rays_o, rays_d, pix)
@@ -375,7 +378,9 @@ class Trainer:
             r_pix = None
             if "r_images" in batch and batch["r_images"] is not None:
                 r_pix = jnp.take(batch["r_images"], rays["inds"][0], axis=0)
-                r_pix = r_pix.astype(jnp.float32) / 255.0
+                r_pix = (r_pix.astype(jnp.float32) / 255.0
+                         if jnp.issubdtype(r_pix.dtype, jnp.integer)
+                         else r_pix.astype(jnp.float32))
                 if linear_space:
                     r_pix = r_pix.at[..., :3].set(srgb_to_linear(r_pix[..., :3]))
             if C == 4 and cfg.bg_radius <= 0:
