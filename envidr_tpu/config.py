@@ -128,6 +128,8 @@ class Options:
     error_map_start_iter: int = 0
     rand_pose: int = -1
     patch_size: int = 1
+    center_crop: float = 0.0             # central-crop ray sampling window
+    center_crop_ratio: float = 0.6       # fraction of rays from the crop
 
     # sdf / geometry
     use_sdf: bool = False

@@ -359,6 +359,16 @@ class Trainer:
                 em_row = state["error_map"][batch["img_idx"]][None]
                 rays = error_map_rays(k_rays, pose, batch["intrinsics"], H, W,
                                       num_rays, em_row)
+            elif opt.patch_size > 1:
+                # patch sampling for patch-structured losses (utils.py:565)
+                from envidr_tpu.geometry.rays import patch_rays
+                rays = patch_rays(k_rays, pose, batch["intrinsics"], H, W,
+                                  num_rays, opt.patch_size)
+            elif opt.center_crop > 0:
+                from envidr_tpu.geometry.rays import center_crop_rays
+                rays = center_crop_rays(k_rays, pose, batch["intrinsics"],
+                                        H, W, num_rays, opt.center_crop,
+                                        opt.center_crop_ratio)
             else:
                 rays = sampled_rays(k_rays, pose, batch["intrinsics"], H, W,
                                     num_rays)
