@@ -82,6 +82,17 @@ def main():
         "unit": "rays/s/chip",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
     }
+    # eval-path throughput (weak #8): chunked full-image render
+    t0 = time.time()
+    res = trainer.render_image(ds.poses[0], ds.intrinsics, ds.H, ds.W,
+                               use_ema=False)
+    _ = float(np.asarray(res["image"]).sum())
+    t0 = time.time()          # second render: compiled path only
+    res = trainer.render_image(ds.poses[0], ds.intrinsics, ds.H, ds.W,
+                               use_ema=False)
+    _ = float(np.asarray(res["image"]).sum())
+    out["eval_rays_per_sec"] = round(ds.H * ds.W / (time.time() - t0), 1)
+
     # GSPMD scaling probe: sharded-step overhead on an 8-virtual-device CPU
     # mesh (the only multi-device signal available without a pod slice; real
     # >=2-host efficiency is a BASELINE.md target for pod hardware).
