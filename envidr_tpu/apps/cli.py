@@ -103,7 +103,8 @@ def main(argv=None):
             trainer.load_checkpoint(args.ckpt)
         test_set = make_dataset(opt.test_split, opt.test_skip)
         trainer.update_extra_state()
-        psnr = trainer.evaluate(test_set, mode=mode, max_images=len(test_set))
+        psnr = trainer.evaluate(test_set, mode=mode, max_images=len(test_set),
+                                track_best=False)
         log(f"[test] PSNR = {psnr:.3f}")
         outdir = os.path.join(opt.workspace, "results")
         os.makedirs(outdir, exist_ok=True)

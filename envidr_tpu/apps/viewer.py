@@ -83,7 +83,14 @@ class ViewerState:
         self.mode = mode
         self.dataset = dataset
         self.lock = threading.Lock()
-        self._env_cache = {}
+        # sphere-mode rendering needs material conditioning; default to the
+        # dataset's first material or a generic glossy one (gui.py mode knobs)
+        self.material = None
+        if mode == "sphere":
+            mats = getattr(dataset, "materials", None)
+            self.material = (mats[0] if mats is not None and len(mats) else
+                             dict(roughness=0.3, metallic=0.9,
+                                  base_color=(0.7, 0.7, 0.7)))
 
     def frame(self, az, el, radius, size, render_mode, env_index, rot_deg,
               train_steps) -> tuple[bytes, str]:
@@ -100,10 +107,13 @@ class ViewerState:
                 scale=self.opt.scale)
             H = W = int(size)
             focal = W / (2 * np.tan(0.6194058656692505 / 2))
+            # render the LIVE weights, not the EMA — train-per-frame must be
+            # visible immediately (the EMA lags ~20 epochs at 0.95)
             res = self.trainer.render_image(
                 pose, (focal, focal, W / 2, H / 2), H, W,
                 env_rot_radian=np.deg2rad(rot_deg) if rot_deg else None,
-                mode=self.mode, env_index=int(env_index))
+                mode=self.mode, env_index=int(env_index),
+                material=self.material, use_ema=False)
         img = self._to_rgb(res, render_mode)
         buf = io.BytesIO()
         import imageio.v2 as imageio

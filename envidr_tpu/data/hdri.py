@@ -64,6 +64,9 @@ def read_radiance_hdr(path: str) -> np.ndarray:
             x = 0
             while x < W:
                 count = int(buf[o])
+                if count == 0:
+                    raise ValueError(
+                        f".hdr RLE parse error: zero count at scanline {y}")
                 if count > 128:          # run
                     rgbe[y, x:x + count - 128, ch] = buf[o + 1]
                     x += count - 128

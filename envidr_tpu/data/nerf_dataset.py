@@ -150,7 +150,10 @@ class NeRFDataset:
                 scale=scale, offset=offset)
             self.poses = interpolate_test_poses(p0, p1, n_test)
             self.images = None
-            probe = _load_image(os.path.join(root, frames[0]["file_path"]))
+            ppath = os.path.join(root, frames[0]["file_path"])
+            if not os.path.splitext(ppath)[1]:
+                ppath += ".png"
+            probe = _load_image(ppath)
             if downscale > 1:
                 probe = probe[::downscale, ::downscale]
             self.H, self.W = probe.shape[:2]

@@ -393,15 +393,16 @@ class Trainer:
                          else r_pix.astype(jnp.float32))
                 if linear_space:
                     r_pix = r_pix.at[..., :3].set(srgb_to_linear(r_pix[..., :3]))
+            n_eff = pix.shape[0]   # patch sampling rounds num_rays down
             if C == 4 and cfg.bg_radius <= 0:
                 if opt.alpha_bg_mode == "white":
-                    bg = jnp.ones((num_rays, 3))
+                    bg = jnp.ones((n_eff, 3))
                 else:
-                    bg = jax.random.uniform(k_bg, (num_rays, 3))
+                    bg = jax.random.uniform(k_bg, (n_eff, 3))
                 gt_rgb = pix[..., :3] * pix[..., 3:] + bg * (1.0 - pix[..., 3:])
                 alpha_mask = pix[..., 3]
             else:
-                bg = jnp.ones((num_rays, 3))
+                bg = jnp.ones((n_eff, 3))
                 gt_rgb = pix[..., :3]
                 alpha_mask = None
 
@@ -640,6 +641,9 @@ class Trainer:
         ssim_meter = SSIMMeter()
         lpips_meter = LPIPSMeter()
         n = min(len(dataset), max_images)
+        has_gt = getattr(dataset, "images", None) is not None
+        if not has_gt:
+            track_best = False   # render-only split (colmap slerp test path)
         rots = [None]
         if env_rot_degree_range:
             d0, d1, k = env_rot_degree_range
@@ -655,7 +659,7 @@ class Trainer:
                 pred = res["image"]
                 if self.opt.color_space == "linear":
                     pred = np.asarray(linear_to_srgb(jnp.asarray(pred)))
-                if rot is None:
+                if rot is None and has_gt:
                     gt = dataset.images[i].astype(np.float32) / 255.0
                     if gt.shape[-1] == 4:
                         gt = gt[..., :3] * gt[..., 3:] + (1.0 - gt[..., 3:])
@@ -722,23 +726,45 @@ class Trainer:
         return out
 
     def train_one_epoch_steps(self, dataset, n_steps, mode):
+        """N ad-hoc train steps (the GUI train-per-frame loop, gui.py:89-113).
+
+        Mirrors train_one_epoch's per-step upkeep: lazy error-map init,
+        occupancy-grid refresh cadence, sphere-mode batch conditioning
+        (env_index / material / r_images), and the post-loop EMA pull."""
         from envidr_tpu.train.schedules import resolve as _resolve
         sched = _resolve(self.opt, max(self.epoch, 1), self.global_step)
         self._sched = sched
+        if self.opt.error_map and "error_map" not in self.state:
+            self.state["error_map"] = jnp.full((len(dataset), 128 * 128), 0.1)
         K = self.sample_budget(sched) if mode == "scene" else 0
         step_fn = self._get_train_step(sched, K, sched.num_rays, dataset.H,
                                        dataset.W, dataset.C, mode)
         intr = jnp.asarray(dataset.intrinsics, jnp.float32)
         w = {k: jnp.asarray(v) for k, v in sched.weights.items()}
         for i in range(n_steps):
+            if (self.use_grid and sched.update_extra_interval > 0
+                    and self.global_step % sched.update_extra_interval == 0):
+                self.update_extra_state()
             self.key, sub = jax.random.split(self.key)
-            batch = {"pose": dataset.device_poses[i % len(dataset)],
-                     "image": dataset.device_images[i % len(dataset)],
+            j = i % len(dataset)
+            batch = {"pose": dataset.device_poses[j],
+                     "image": dataset.device_images[j],
                      "intrinsics": intr,
-                     "img_idx": jnp.asarray(i % len(dataset), jnp.int32)}
+                     "img_idx": jnp.asarray(j, jnp.int32)}
+            if mode == "sphere":
+                batch["env_index"] = int(dataset.host_env_indices[j]) \
+                    if hasattr(dataset, "host_env_indices") \
+                    else int(np.asarray(dataset.env_indices[j]))
+                batch["material"] = dataset.materials[j]
+                r_all = getattr(dataset, "device_r_images", None)
+                if r_all is not None:
+                    batch["r_images"] = r_all[j]
             self.state, m = step_fn(self.state, batch, sub, w)
             self.global_step += 1
         jax.block_until_ready(m["loss"])
+        self.state["ema"] = jax.tree.map(
+            lambda e, p: 0.95 * e + 0.05 * p, self.state["ema"],
+            self.state["params"])
         return {"loss": float(m["loss"]), "steps": n_steps}
 
     # ---------------- checkpoints ----------------

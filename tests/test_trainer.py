@@ -157,6 +157,32 @@ def test_global_from_local_single_process(ds):
     assert len(g.sharding.device_set) == 8
 
 
+def test_eval_renders_gt_less_test_split(ds, tmp_path):
+    """evaluate() on the colmap slerp test split (images=None) must render
+    without metrics instead of crashing (code-review finding)."""
+    from tests.test_dataset import _write_colmap_set
+    from envidr_tpu.data.nerf_dataset import NeRFDataset
+    root = str(tmp_path)
+    _write_colmap_set(root, H=24, W=24)
+    test_set = NeRFDataset(root, "test", scale=0.5, n_test=2)
+    assert test_set.images is None
+    opt = tiny_opt()
+    trainer = Trainer(opt, network_config(opt))
+    trainer.update_extra_state()
+    psnr = trainer.evaluate(test_set, max_images=2,
+                            dump_dir=os.path.join(root, "out"))
+    assert psnr == 0.0                      # no GT -> empty meter
+    assert os.listdir(os.path.join(root, "out"))
+
+
+def test_patch_size_non_divisor_trains(ds):
+    """patch_size^2 not dividing num_rays must round down, not crash."""
+    opt = tiny_opt(patch_size=3, num_rays=64)   # 64 // 9 * 9 = 63
+    trainer = Trainer(opt, network_config(opt))
+    stats = trainer.train_one_epoch_steps(ds, 2, "scene")
+    assert np.isfinite(stats["loss"])
+
+
 def test_process_shard_dataset(tmp_path, ds):
     """NeRFDataset(process_shard=True) keeps 1/P of the frames (P=1 here:
     identity, but the code path must run)."""

@@ -120,7 +120,8 @@ def run(name, overrides):
                f"color={stats.get('color', 0):.5f} mc={trainer.mean_count:.1f} "
                f"t={stats['time']:.0f}s")
         if (ep + 1) % EVAL_EVERY == 0 or ep == EPOCHS - 1:
-            tr_psnr = trainer.evaluate(train_set, max_images=2, use_ema=False)
+            tr_psnr = trainer.evaluate(train_set, max_images=2, use_ema=False,
+                                       track_best=False)
             va_psnr = trainer.evaluate(val_set, max_images=2, use_ema=False)
             res = trainer.render_image(val_set.poses[0], val_set.intrinsics,
                                        val_set.H, val_set.W, use_ema=False)
