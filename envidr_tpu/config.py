@@ -292,6 +292,9 @@ class Options:
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"      # MLP matmul dtype on TPU
     samples_budget: int = -1             # static K override (-1: auto from mean_count)
+    min_samples_budget: int = 32         # K floor: a pruned grid (mean_count
+                                         # ~4) must not starve the thin NeuS
+                                         # shell of samples (limit-cycle guard)
     numerical_normals: bool = False      # central-difference SDF normals (TPU fast path)
     numerical_normals_eps: float = 0.005
     hash_table_dtype: str = "float32"    # 'bfloat16' for half gather bytes

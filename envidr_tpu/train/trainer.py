@@ -302,10 +302,15 @@ class Trainer:
             est = cap
         else:
             est = int(self.mean_count * 1.5) + 8
-        k = 16
+        # K floor: once the grid prunes hard (mean_count ~4) a 16-sample
+        # budget under-samples the thin NeuS shell and training limit-cycles
+        # (prune -> miss surface -> loss spike -> re-diffuse).  An explicitly
+        # small early_stop_steps cap still wins.
+        floor = min(max(16, self.opt.min_samples_budget), max(cap, 16))
+        k = floor
         while k < min(est, cap):
             k *= 2
-        return int(min(k, cap if cap >= 16 else 16, 1024))
+        return int(min(k, max(cap, floor), 1024))
 
     def _build_train_step(self, sched: StepSchedule, K: int, num_rays: int,
                           H: int, W: int, C: int, mode: str):
