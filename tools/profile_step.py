@@ -63,7 +63,17 @@ def run(tag, **overrides):
     key = jax.random.PRNGKey(0)
     state = trainer.state
 
-    t = timeit(lambda: step_fn(state, batch, key, weights))
+    # the step donates its state arg — must thread it through
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        state, m = step_fn(state, batch, sub, weights)
+    _ = float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        key, sub = jax.random.split(key)
+        state, m = step_fn(state, batch, sub, weights)
+    _ = float(m["loss"])
+    t = (time.perf_counter() - t0) / 10
     print(f"[{tag}] full train step: {t*1e3:8.1f} ms "
           f"({sched.num_rays/t:,.0f} rays/s)  K={K}", flush=True)
 
