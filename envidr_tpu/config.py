@@ -299,6 +299,11 @@ class Options:
     numerical_normals_eps: float = 0.005
     hash_table_dtype: str = "float32"    # 'bfloat16' for half gather bytes
     hash_scatter_impl: str = "xla"       # 'mixed': Pallas VMEM scatter levels
+    # hand-written hash VJP: 'auto' = on for sphere/renv modes (shrinks the
+    # second-order remote compile 20-26min -> ~1min), off for scene training
+    # (measured 1101ms vs 589ms/step: XLA's autodiff fuses the two same-index
+    # scatter-adds of the first+second-order backward; the custom path can't).
+    hash_custom_grad: str = "auto"       # 'auto' | 'on' | 'off'
     eval_samples_budget: int = 256
     eval_ray_chunk: int = 4096
     mesh_shape: Tuple[int, ...] = ()     # data-parallel device mesh (empty: all devices)
@@ -433,4 +438,8 @@ def network_config(opt: Options) -> NetworkConfig:
         numerical_normals_eps=opt.numerical_normals_eps,
         hash_table_dtype=opt.hash_table_dtype,
         hash_scatter_impl=opt.hash_scatter_impl,
+        hash_custom_grad=(
+            opt.env_sph_mode or opt.render_env_on_sphere or opt.train_renv
+            if str(opt.hash_custom_grad) == "auto"
+            else str(opt.hash_custom_grad).lower() in ("on", "true", "1")),
     )

@@ -140,6 +140,7 @@ class NetworkConfig:
     numerical_normals_eps: float = 0.005
     hash_table_dtype: str = "float32"      # 'bfloat16': halve gather bytes
     hash_scatter_impl: str = "xla"         # 'mixed': Pallas VMEM scatter levels
+    hash_custom_grad: bool = True          # hand-written 1st+2nd-order VJP
 
     # ----- derived dims -----------------------------------------------------
     @property
@@ -152,7 +153,8 @@ class NetworkConfig:
             desired_resolution=int(self.bound * self.desired_resolution),
             log2_hashmap_size=self.log2_hashmap_size, interpolation=interp,
             indexing=indexing, table_dtype=self.hash_table_dtype,
-            scatter_impl=self.hash_scatter_impl)
+            scatter_impl=self.hash_scatter_impl,
+            custom_grad=self.hash_custom_grad)
 
     @property
     def pos_enc_dim(self) -> int:

@@ -28,7 +28,11 @@ _BLK_B = 4096
 
 
 def fits_vmem(S: int, W: int, K: int = 2, dtype_bytes: int = 4) -> bool:
-    return K * S * W * dtype_bytes <= _VMEM_BUDGET
+    # the (8,128) VMEM tiling pads the lane (last) dim to 128: a [K,S,16]
+    # accumulator physically occupies K*S*128 elements (measured: an 81.65MB
+    # scoped-vmem request for S=79507 K=2 W=16 inside the train graph)
+    w_padded = max(W, 128)
+    return K * S * w_padded * dtype_bytes <= _VMEM_BUDGET
 
 
 def _pick_K(S: int, W: int) -> int:
@@ -84,5 +88,10 @@ def scatter_add_rows(idx: jnp.ndarray, rows: jnp.ndarray, *, S: int,
         out_specs=pl.BlockSpec((K, S, W), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        # the [K,S,16] accumulator is lane-padded 16->128 by the (8,128)
+        # tiling; inside large graphs that blows the default scoped-vmem
+        # accounting even though the physical footprint fits — raise the cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(idx.astype(jnp.int32), rows.astype(jnp.float32))
     return part.sum(axis=0)

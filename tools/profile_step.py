@@ -89,5 +89,5 @@ def run(tag, **overrides):
     return
 
 
-run("xla")
-run("mixed", hash_scatter_impl="mixed")
+run("custom_vjp")
+run("autodiff", hash_custom_grad=False)
