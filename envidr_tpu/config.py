@@ -304,6 +304,7 @@ class Options:
     # (measured 1101ms vs 589ms/step: XLA's autodiff fuses the two same-index
     # scatter-adds of the first+second-order backward; the custom path can't).
     hash_custom_grad: str = "auto"       # 'auto' | 'on' | 'off'
+    cp_rank: int = 32                    # CP (MXU) encoder rank
     eval_samples_budget: int = 256
     eval_ray_chunk: int = 4096
     mesh_shape: Tuple[int, ...] = ()     # data-parallel device mesh (empty: all devices)
@@ -438,6 +439,7 @@ def network_config(opt: Options) -> NetworkConfig:
         numerical_normals_eps=opt.numerical_normals_eps,
         hash_table_dtype=opt.hash_table_dtype,
         hash_scatter_impl=opt.hash_scatter_impl,
+        cp_rank=opt.cp_rank,
         hash_custom_grad=(
             opt.env_sph_mode or opt.render_env_on_sphere or opt.train_renv
             if str(opt.hash_custom_grad) == "auto"

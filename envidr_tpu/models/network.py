@@ -26,6 +26,7 @@ import numpy as np
 
 from envidr_tpu.ops import density as density_ops
 from envidr_tpu.ops.freq import freq_encode, freq_output_dim
+from envidr_tpu.ops.cp import CPSpec, cp_encode_from_world, init_cp_params
 from envidr_tpu.ops.hashgrid import HashGridSpec, hash_encode_from_world, init_hash_params
 from envidr_tpu.ops.ide import ide_encode, ide_output_dim
 from envidr_tpu.ops.sh import sh_encode, sh_output_dim
@@ -141,6 +142,7 @@ class NetworkConfig:
     hash_table_dtype: str = "float32"      # 'bfloat16': halve gather bytes
     hash_scatter_impl: str = "xla"         # 'mixed': Pallas VMEM scatter levels
     hash_custom_grad: bool = True          # hand-written 1st+2nd-order VJP
+    cp_rank: int = 32                      # CP encoder rank (encoding_pos='cp')
 
     # ----- derived dims -----------------------------------------------------
     @property
@@ -157,8 +159,17 @@ class NetworkConfig:
             custom_grad=self.hash_custom_grad)
 
     @property
+    def cp_spec(self) -> CPSpec:
+        return CPSpec(
+            input_dim=3, num_levels=self.num_levels,
+            level_dim=self.level_dim, rank=self.cp_rank,
+            base_resolution=self.base_resolution,
+            desired_resolution=int(self.bound * self.desired_resolution))
+
+    @property
     def pos_enc_dim(self) -> int:
-        if self.encoding_pos in ("hashgrid", "hashgrid_diff", "rolled_tiled"):
+        if self.encoding_pos in ("hashgrid", "hashgrid_diff", "rolled_tiled",
+                                 "cp"):
             return self.num_levels * self.level_dim
         return freq_output_dim(3, self.multires)
 
@@ -280,6 +291,8 @@ def init_network_params(key, cfg: NetworkConfig) -> Dict[str, Any]:
 
     if cfg.encoding_pos in ("hashgrid", "hashgrid_diff", "rolled_tiled"):
         params["encoder"] = init_hash_params(next(keys), cfg.hash_spec)
+    elif cfg.encoding_pos == "cp":
+        params["encoder"] = init_cp_params(next(keys), cfg.cp_spec)
 
     if cfg.use_sdf:
         if cfg.use_neus_sdf:
@@ -350,11 +363,15 @@ def encode_position(params, cfg: NetworkConfig, xyz, level_mask=None):
     if cfg.encoding_pos in ("hashgrid", "hashgrid_diff", "rolled_tiled"):
         x = hash_encode_from_world(xyz, params["encoder"]["embeddings"],
                                    cfg.hash_spec, bound=cfg.bound)
-        if level_mask is not None:
-            # coarse-to-fine level gating (network.py:390-393)
-            x = x * jnp.repeat(level_mask, cfg.level_dim)
-        return x
-    return freq_encode(xyz, degree=cfg.multires)
+    elif cfg.encoding_pos == "cp":
+        x = cp_encode_from_world(xyz, params["encoder"], cfg.cp_spec,
+                                 bound=cfg.bound)
+    else:
+        return freq_encode(xyz, degree=cfg.multires)
+    if level_mask is not None:
+        # coarse-to-fine level gating (network.py:390-393)
+        x = x * jnp.repeat(level_mask, cfg.level_dim)
+    return x
 
 
 def _material_vec(cfg: NetworkConfig, material, like):
