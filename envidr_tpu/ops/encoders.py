@@ -61,7 +61,22 @@ def get_encoder(
             return init_hash_params(key, spec)
 
         return encode, spec.output_dim, init
+    if encoding == "cp":
+        from envidr_tpu.ops.cp import CPSpec, cp_encode_from_world, init_cp_params
+        cspec = CPSpec(input_dim=input_dim, num_levels=num_levels,
+                       level_dim=level_dim, rank=kwargs.get("rank", 32),
+                       base_resolution=base_resolution,
+                       desired_resolution=desired_resolution)
+
+        def encode_cp(params, x, **kw):
+            return cp_encode_from_world(x, params, cspec,
+                                        bound=kw.get("bound", bound))
+
+        def init_cp(key):
+            return init_cp_params(key, cspec)
+
+        return encode_cp, cspec.output_dim, init_cp
     raise NotImplementedError(
         f"Unknown encoding {encoding!r}; choose from [None, frequency, "
         "sphere_harmonics, integrated_dir, hashgrid, hashgrid_diff, "
-        "tiledgrid, rolled_tiled]")
+        "tiledgrid, rolled_tiled, cp]")
