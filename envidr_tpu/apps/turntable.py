@@ -32,6 +32,11 @@ def main(argv=None):
     p.add_argument("--fps", type=int, default=24)
     p.add_argument("--env-rot", action="store_true",
                    help="rotate the environment instead of the camera")
+    p.add_argument("--roughness", type=float, default=0.2,
+                   help="sphere-mode material override")
+    p.add_argument("--metallic", type=float, default=0.9)
+    p.add_argument("--color", type=float, nargs=3, default=[0.7, 0.7, 0.7])
+    p.add_argument("--env-index", type=int, default=0)
     p.add_argument("--swap_env", default="")
     p.add_argument("--out", default="orbit.mp4")
     args = p.parse_args(argv)
@@ -66,8 +71,12 @@ def main(argv=None):
             pose = nerf_matrix_to_ngp(pose_spherical(theta, args.phi, 4.0),
                                       scale=opt.scale)
             rot = None
+        material = (dict(roughness=args.roughness, metallic=args.metallic,
+                         color=tuple(args.color))
+                    if mode == "sphere" else None)
         res = trainer.render_image(pose, intr, H, W, mode=mode,
-                                   env_rot_radian=rot)
+                                   env_rot_radian=rot, material=material,
+                                   env_index=args.env_index)
         img = res["image"]
         if opt.color_space == "linear":
             img = np.asarray(linear_to_srgb(jnp.asarray(img)))

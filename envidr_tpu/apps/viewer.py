@@ -90,7 +90,7 @@ class ViewerState:
             mats = getattr(dataset, "materials", None)
             self.material = (mats[0] if mats is not None and len(mats) else
                              dict(roughness=0.3, metallic=0.9,
-                                  base_color=(0.7, 0.7, 0.7)))
+                                  color=(0.7, 0.7, 0.7)))
 
     def frame(self, az, el, radius, size, render_mode, env_index, rot_deg,
               train_steps) -> tuple[bytes, str]:
