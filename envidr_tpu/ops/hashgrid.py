@@ -333,6 +333,8 @@ def _rolled_grad_impl(spec, x, blocked, g, rows):
 
 
 def _rolled_grad_fwd(spec, x, blocked, g, rows):
+    # symbolic_zeros=True wraps args as CustomVJPPrimal(value, perturbed)
+    x, blocked, g, rows = (a.value for a in (x, blocked, g, rows))
     outs = _rolled_grad_impl(spec, x, blocked, g, rows)
     return outs, (x, blocked, g, rows)
 
@@ -345,8 +347,14 @@ def _rolled_grad_bwd(spec, res, ts):
     (``hashencoder.cu:376-434``) plus the exact d2w/dx2 input-input block the
     reference omits (its eikonal never needs it; ours keeps full correctness).
     """
+    from jax.custom_derivatives import SymbolicZero
     x, blocked, g, rows = res
     t_x, t_blk = ts
+    # symbolic zeros let us DROP whole branches at trace time: the eikonal
+    # loss only uses d_x, so t_blk is structurally zero and its 512MB-of-
+    # zeros gather + einsums would otherwise execute for nothing.
+    tx_zero = isinstance(t_x, SymbolicZero)
+    tb_zero = isinstance(t_blk, SymbolicZero)
     L, C = spec.num_levels, spec.level_dim
     B = x.shape[0]
     base, sel, dsel, ddsel = _rolled_geom(spec, x)
@@ -355,44 +363,55 @@ def _rolled_grad_bwd(spec, res, ts):
     gl = jnp.moveaxis(g.reshape(B, L, C), 1, 0)                   # [L,B,C]
     gl = jnp.where(oob[None, :, None], 0.0, gl)
     rows_c = rows.reshape(L, B, 8, C).astype(jnp.float32)
-    t_x = jnp.where(oob[:, None], 0.0, t_x.astype(jnp.float32))
+    if not tx_zero:
+        t_x = jnp.where(oob[:, None], 0.0, t_x.astype(jnp.float32))
 
-    # gather of the d_blocked cotangent at sample rows (zero-folded by XLA
-    # when t_blk is a materialized zero cotangent)
-    tb_c = _gather_rows(t_blk, base).astype(jnp.float32).reshape(L, B, 8, C)
+    # gather of the d_blocked cotangent at sample rows
+    tb_c = None if tb_zero else _gather_rows(
+        t_blk, base).astype(jnp.float32).reshape(L, B, 8, C)
 
     # --- grad wrt g: t_x . d(d_x)/dg  +  t_blk-path ---
-    grad_g = jnp.einsum("bd,lbkc,lbkd->lbc", t_x, rows_c, dwc)
-    grad_g = grad_g + jnp.einsum("lbk,lbkc->lbc", wc, tb_c)
+    grad_g = 0.0
+    if not tx_zero:
+        grad_g = jnp.einsum("bd,lbkc,lbkd->lbc", t_x, rows_c, dwc)
+    if not tb_zero:
+        grad_g = grad_g + jnp.einsum("lbk,lbkc->lbc", wc, tb_c)
     grad_g = jnp.where(oob[None, :, None], 0.0, grad_g)
     grad_g = jnp.moveaxis(grad_g, 0, 1).reshape(B, L * C).astype(g.dtype)
 
     # --- grad wrt blocked: scatter of t_x-weighted update rows (the d_x
     #     path) + nothing from the d_blocked path (linear in blocked: none) ---
-    u2 = jnp.einsum("bd,lbkd,lbc->lbkc", t_x, dwc, gl).reshape(L, B, 8 * C)
-    grad_blocked = _scatter_rows(blocked, base, u2, spec)
+    if tx_zero:
+        grad_blocked = jnp.zeros_like(blocked)
+    else:
+        u2 = jnp.einsum("bd,lbkd,lbc->lbkc", t_x, dwc, gl).reshape(L, B, 8 * C)
+        grad_blocked = _scatter_rows(blocked, base, u2, spec)
 
     # --- grad wrt x: d2w/dx2 (t_x-path) + d(update-weights)/dx (t_blk) ---
-    gr = jnp.einsum("lbc,lbkc->lbk", gl, rows_c)                  # [L,B,8]
-    cols = []
-    for dp in range(3):
-        acc = 0.0
-        for d in range(3):
-            if d == dp:
-                h = ddsel[..., dp] * prod_other[..., dp]          # [L,B,8]
-            else:
-                other = 3 - d - dp
-                h = dsel[..., d] * dsel[..., dp] * sel[..., other]
-            acc = acc + jnp.einsum("lbk,lbk,b->b", gr, h, t_x[:, d])
-        cols.append(acc)
-    grad_x = jnp.stack(cols, axis=-1)
-    grad_x = grad_x + jnp.einsum("lbkc,lbc,lbkd->bd", tb_c, gl, dwc)
+    grad_x = jnp.zeros((B, 3), jnp.float32)
+    if not tx_zero:
+        gr = jnp.einsum("lbc,lbkc->lbk", gl, rows_c)              # [L,B,8]
+        cols = []
+        for dp in range(3):
+            acc = 0.0
+            for d in range(3):
+                if d == dp:
+                    h = ddsel[..., dp] * prod_other[..., dp]      # [L,B,8]
+                else:
+                    other = 3 - d - dp
+                    h = dsel[..., d] * dsel[..., dp] * sel[..., other]
+                acc = acc + jnp.einsum("lbk,lbk,b->b", gr, h, t_x[:, d])
+            cols.append(acc)
+        grad_x = jnp.stack(cols, axis=-1)
+    if not tb_zero:
+        grad_x = grad_x + jnp.einsum("lbkc,lbc,lbkd->bd", tb_c, gl, dwc)
     grad_x = jnp.where(oob[:, None], 0.0, grad_x).astype(x.dtype)
 
     return grad_x, grad_blocked, grad_g, jnp.zeros_like(rows)
 
 
-_rolled_encode_grad.defvjp(_rolled_grad_fwd, _rolled_grad_bwd)
+_rolled_encode_grad.defvjp(_rolled_grad_fwd, _rolled_grad_bwd,
+                           symbolic_zeros=True)
 _rolled_encode.defvjp(_rolled_encode_fwd, _rolled_encode_bwd)
 
 
