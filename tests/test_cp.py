@@ -97,3 +97,27 @@ def test_fits_a_toy_sdf():
         key, sub = jax.random.split(key)
         carry, l = step(carry, sub)
     assert float(l) < 2e-3, f"toy SDF mse {float(l)}"
+
+
+def test_cp_scene_network_integration():
+    """CP encoder as the geometry encoding inside the full network."""
+    import dataclasses
+    from envidr_tpu.models.network import (forward_geometry,
+                                           init_network_params)
+    from tests.test_scene_render import SCENE_CFG
+    cfg = dataclasses.replace(SCENE_CFG, encoding_pos="cp", cp_rank=8)
+    params = init_network_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (65, 3), minval=-0.5,
+                           maxval=0.5)
+    geo = forward_geometry(params, cfg, x)
+    assert np.isfinite(np.asarray(geo["sdf"])).all()
+
+    def eik(p):
+        def f(xx):
+            return jnp.sum(forward_geometry(p, cfg, xx)["sdf"])
+        return jnp.sum(jax.grad(f)(x) ** 2)
+
+    g = jax.grad(eik)(params)
+    tot = sum(float(jnp.abs(t).sum()) for lvl in g["encoder"]["axes"]
+              for t in lvl)
+    assert np.isfinite(tot) and tot > 0
