@@ -75,11 +75,12 @@ class CPSpec:
 def init_cp_params(key, spec: CPSpec, std: float = 0.1):
     """Axis tables [R_l, rank] per level+axis, and [rank, C] projections.
 
-    Init: tables ~ N(0, std) scaled so the triple product has O(1e-4)
-    magnitude like the hash init U(-1e-4, 1e-4); projections xavier-ish.
+    Tables ~ N(0, std): the CP feature is a triple product, so its scale is
+    ~ std^3 * sqrt(rank) ~ 1e-3 — the same small-encoding regime as the hash
+    init U(-1e-4, 1e-4); projections are 1/sqrt(rank)-scaled.
     """
     params = {"axes": [], "proj": []}
-    table_std = std  # (a*b*c)@P ~ std^3 * sqrt(rank) ~ 1e-3 .. tuned below
+    table_std = std
     for lvl, R in enumerate(spec.resolutions):
         key, k1, k2, k3, k4 = jax.random.split(key, 5)
         params["axes"].append([
