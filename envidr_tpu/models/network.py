@@ -570,7 +570,11 @@ def forward_color(
             h = jnp.concatenate([h, normals_enc], axis=-1)
 
         c_env = None
-        if w_r_enc is not None and not cfg.train_renv:
+        # train_renv normally routes specular through the renv branch, but an
+        # eval render without per-ray r_images (render_image/unwrap paths)
+        # falls back to the plain env branch — the deployment behavior of the
+        # underlying pretrained renderer (sph_ray.py:214-221's no-indir path).
+        if w_r_enc is not None and (not cfg.train_renv or r_images is None):
             if cfg.use_env_net:
                 env_net = _select_env_net(params, cfg, env_index)
                 w_r_feat = _apply_env_net(env_net, cfg, w_r_enc)
@@ -610,7 +614,7 @@ def forward_color(
                       if cfg.use_n_dot_viewdir else h)
             c_env = _color_head(params, cfg, h_only)
 
-        if cfg.train_renv:
+        if cfg.train_renv and c_renv is not None:
             c_specular = c_renv
         else:
             c_specular = c_env
