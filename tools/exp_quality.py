@@ -76,6 +76,10 @@ EXPERIMENTS = {
     "neus_cp": dict(mask_loss_weight=1.0, lr=3e-3, plr=3e-3, slr=1e-3,
                     alpha_bg_mode="white", use_neus_sdf=True,
                     cos_anneal_steps=500, encoding_pos="cp", cp_rank=32),
+    # CP long run: 60 epochs is only ~15 min at CP speed
+    "neus_cp_long": dict(mask_loss_weight=1.0, lr=3e-3, plr=3e-3, slr=1e-3,
+                         alpha_bg_mode="white", use_neus_sdf=True,
+                         cos_anneal_steps=500, encoding_pos="cp", cp_rank=32),
     # The toaster recipe (configs/scenes/toaster.ini): FROZEN pretrained
     # rendering MLPs (geometry must form surfaces to explain appearance —
     # fog can't repaint frozen color nets), coarse-to-fine hash levels,
