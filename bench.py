@@ -36,8 +36,9 @@ def main():
         subprocess.run([sys.executable, os.path.join(root, "tools", "gen_synth_scene.py"),
                         data_dir, "--size", "400", "--n-train", "50"], check=True)
 
-    opt = load_options(os.path.join(root, "configs", "synth_spheres.ini"),
-                       path=data_dir, workspace="/tmp/envidr_bench")
+    cfg_path = os.environ.get(
+        "ENVIDR_BENCH_CONFIG", os.path.join(root, "configs", "synth_spheres.ini"))
+    opt = load_options(cfg_path, path=data_dir, workspace="/tmp/envidr_bench")
     cfg = network_config(opt)
     trainer = Trainer(opt, cfg)
 
