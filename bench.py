@@ -36,9 +36,17 @@ def main():
         subprocess.run([sys.executable, os.path.join(root, "tools", "gen_synth_scene.py"),
                         data_dir, "--size", "400", "--n-train", "50"], check=True)
 
+    # Default = the CP/MXU flagship recipe: beats the hash grid on BOTH val
+    # PSNR (31.1 vs 28.1 dB) and step time (docs/QUALITY_R2.md, PERF_R2.md).
+    # The reference-parity hash path remains benchable via
+    # ENVIDR_BENCH_CONFIG=configs/synth_spheres.ini.
     cfg_path = os.environ.get(
-        "ENVIDR_BENCH_CONFIG", os.path.join(root, "configs", "synth_spheres.ini"))
-    opt = load_options(cfg_path, path=data_dir, workspace="/tmp/envidr_bench")
+        "ENVIDR_BENCH_CONFIG", os.path.join(root, "configs", "synth_spheres_cp.ini"))
+    overrides = {}
+    if os.environ.get("ENVIDR_BENCH_RAYS"):
+        overrides["num_rays"] = int(os.environ["ENVIDR_BENCH_RAYS"])
+    opt = load_options(cfg_path, path=data_dir, workspace="/tmp/envidr_bench",
+                       **overrides)
     cfg = network_config(opt)
     trainer = Trainer(opt, cfg)
 

@@ -212,8 +212,10 @@ class NeRFDataset:
             fl_x = fl_x if fl_x is not None else fl_y
         else:
             raise ValueError("no focal length in transforms json")
-        cx = meta.get("cx", W / 2) / downscale
-        cy = meta.get("cy", H / 2) / downscale
+        # meta cx/cy are full-res and need scaling; the W/2 fallback is in
+        # ALREADY-downscaled pixels (self.W comes from the subsampled probe)
+        cx = meta["cx"] / downscale if "cx" in meta else W / 2
+        cy = meta["cy"] / downscale if "cy" in meta else H / 2
         self.intrinsics = (float(fl_x), float(fl_y), float(cx), float(cy))
 
     def __len__(self):

@@ -66,3 +66,25 @@ def test_slerp_endpoints():
     path = interpolate_test_poses(p0, p1, 8)
     np.testing.assert_allclose(path[0], p0, atol=1e-5)
     np.testing.assert_allclose(path[-1], p1, atol=1e-5)
+
+
+def test_downscale_principal_point(tmp_path):
+    """cx/cy fallback is in already-downscaled pixels (round-2 bugfix: the
+    W/2 default was divided by downscale twice, shifting renders a full
+    quadrant at --downscale 4)."""
+    root = str(tmp_path)
+    _write_colmap_set(root)
+    ds = NeRFDataset(root, "train", scale=0.5, downscale=2)
+    fl, _, cx, cy = ds.intrinsics
+    assert ds.H == 8 and ds.W == 8
+    assert fl == 10.0 and cx == 4.0 and cy == 4.0
+
+    # and when the json has NO explicit cx/cy (blender-style), same answer
+    with open(os.path.join(root, "transforms.json")) as f:
+        meta = json.load(f)
+    del meta["cx"], meta["cy"]
+    with open(os.path.join(root, "transforms.json"), "w") as f:
+        json.dump(meta, f)
+    ds = NeRFDataset(root, "train", scale=0.5, downscale=2)
+    _, _, cx, cy = ds.intrinsics
+    assert cx == 4.0 and cy == 4.0
