@@ -1,0 +1,72 @@
+"""Worker for the true multi-process GSPMD test (run via subprocess).
+
+Each of 2 processes owns 2 virtual CPU devices (4 global).  It builds the
+global ray-sharded batch from its process-local half via
+``global_from_local`` / ``make_array_from_process_local_data``, runs one
+psum'd gradient computation under jit, and writes the (replicated) gradient
+it observed to ``<outdir>/grad_<pid>.npy``.
+
+This is the multi-host analogue of the reference's DDP step
+(/root/reference/nerf/utils.py:1352-1371) exercised with REAL process
+boundaries, not a single-process virtual mesh.
+
+Usage: python mp_worker.py <coordinator> <num_procs> <pid> <outdir>
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from envidr_tpu.parallel.mesh import (  # noqa: E402
+    global_from_local, initialize_multihost, make_mesh, replicate_tree)
+
+
+def main():
+    coordinator, num_procs, pid, outdir = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    initialize_multihost(coordinator, num_procs, pid)
+    assert jax.process_count() == num_procs, jax.process_count()
+    assert len(jax.devices()) == 2 * num_procs, jax.devices()
+
+    mesh = make_mesh()
+
+    # deterministic global batch: every process knows the whole thing, but
+    # only feeds its own half through global_from_local
+    n_global, d = 16, 3
+    x_all = np.arange(n_global * d, dtype=np.float32).reshape(n_global, d) / 10.0
+    y_all = np.linspace(-1.0, 1.0, n_global, dtype=np.float32)
+    lo = pid * (n_global // num_procs)
+    hi = lo + n_global // num_procs
+    x, y = global_from_local(mesh, x_all[lo:hi], y_all[lo:hi])
+    assert x.shape == (n_global, d), x.shape  # global logical shape
+
+    w = replicate_tree(mesh, jnp.asarray([0.3, -0.2, 0.1], jnp.float32))
+
+    @jax.jit
+    def grad_fn(w, x, y):
+        def loss(w):
+            pred = x @ w
+            return jnp.mean((pred - y) ** 2)
+        return jax.grad(loss)(w)  # GSPMD inserts the cross-process psum
+
+    g = grad_fn(w, x, y)
+    g_local = np.asarray(jax.device_get(g.addressable_data(0)))
+    np.save(os.path.join(outdir, f"grad_{pid}.npy"), g_local)
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()

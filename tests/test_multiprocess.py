@@ -1,0 +1,57 @@
+"""True multi-process GSPMD: 2 OS processes, jax.distributed, psum parity.
+
+Closes the round-2 gap "all multi-device coverage is single-process": this
+spawns two real processes that each hold half the batch, assemble the global
+array with ``make_array_from_process_local_data``, and produce the same
+gradient a single process computes on the full batch.  Reference analogue:
+the DDP scatter/all-reduce path (/root/reference/nerf/utils.py:1352-1371).
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import portpicker
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(ROOT, "tests", "mp_worker.py")
+
+
+def test_two_process_grad_matches_single_process(tmp_path):
+    port = portpicker.pick_unused_port()
+    coordinator = f"localhost:{port}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, coordinator, "2", str(pid), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    g0 = np.load(tmp_path / "grad_0.npy")
+    g1 = np.load(tmp_path / "grad_1.npy")
+    # both processes observed the same (replicated) global gradient
+    np.testing.assert_allclose(g0, g1, rtol=1e-6)
+
+    # single-process oracle on the full batch
+    n, d = 16, 3
+    x = np.arange(n * d, dtype=np.float64).reshape(n, d) / 10.0
+    y = np.linspace(-1.0, 1.0, n)
+    w = np.array([0.3, -0.2, 0.1])
+    pred = x @ w
+    expected = 2.0 / n * x.T @ (pred - y)
+    np.testing.assert_allclose(g0, expected, rtol=1e-4)
