@@ -465,6 +465,15 @@ class Trainer:
             updates, new_opt = optimizer.update(grads, state["opt_state"], params)
             new_params = optax.apply_updates(params, updates)
             new_state = dict(state, params=new_params, opt_state=new_opt)
+            # per-STEP EMA, decay 0.95 (main_nerf.py:162, utils.py:1095) —
+            # disabled (exact tracking) under geometric_init like the
+            # reference.  A per-epoch EMA lags ~20 epochs and tanks early
+            # eval PSNR / best-ckpt selection (measured: 8.5 vs 24.0 dB at
+            # ep10 of the env pretrain).
+            ema_d = 0.95 if not opt.geometric_init else 0.0
+            new_state["ema"] = jax.tree.map(
+                lambda e, p: ema_d * e + (1.0 - ema_d) * p,
+                state["ema"], new_params)
             if sched.use_error_map:
                 # per-ray EMA update of the coarse error grid (utils.py:679-700)
                 err = jax.lax.stop_gradient(
@@ -540,11 +549,6 @@ class Trainer:
                 self.mean_count = mc if self.mean_count < 0 \
                     else 0.9 * self.mean_count + 0.1 * mc
             self.global_step += 1
-
-        # EMA after each epoch (utils.py:1252), decay 0.95 (main_nerf.py:163)
-        self.state["ema"] = jax.tree.map(
-            lambda e, p: 0.95 * e + 0.05 * p, self.state["ema"],
-            self.state["params"])
 
         avg = {k: float(np.mean([float(m[k]) for m in losses]))
                for k in losses[0]}
@@ -767,9 +771,6 @@ class Trainer:
             self.state, m = step_fn(self.state, batch, sub, w)
             self.global_step += 1
         jax.block_until_ready(m["loss"])
-        self.state["ema"] = jax.tree.map(
-            lambda e, p: 0.95 * e + 0.05 * p, self.state["ema"],
-            self.state["params"])
         return {"loss": float(m["loss"]), "steps": n_steps}
 
     # ---------------- checkpoints ----------------
