@@ -72,15 +72,23 @@ def time_steps(mesh):
         key, sub = jax.random.split(key)
         state, m = step(state, batch, sub, weights)
     jax.block_until_ready(m["loss"])
-    t0 = time.perf_counter()
-    for i in range(10):
-        key, sub = jax.random.split(key)
-        state, m = step(state, batch, sub, weights)
-    jax.block_until_ready(m["loss"])
-    return (time.perf_counter() - t0) / 10
+    # several timed reps: single 10-step reps on virtual devices are noisy
+    # enough to have produced contradictory round-2 numbers (0.84 vs 1.205)
+    reps = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for i in range(10):
+            key, sub = jax.random.split(key)
+            state, m = step(state, batch, sub, weights)
+        jax.block_until_ready(m["loss"])
+        reps.append((time.perf_counter() - t0) / 10)
+    return reps
 
 
-t1 = time_steps(None)
-t8 = time_steps(make_mesh(8))
+r1 = time_steps(None)
+r8 = time_steps(make_mesh(8))
+t1, t8 = float(np.median(r1)), float(np.median(r8))
+spread = (max(r8) - min(r8)) / t8
 print(json.dumps({"ratio": round(t8 / t1, 3), "t1_ms": round(t1 * 1e3, 1),
-                  "t8_ms": round(t8 * 1e3, 1)}))
+                  "t8_ms": round(t8 * 1e3, 1),
+                  "rel_spread_8dev": round(spread, 3), "reps": 5}))
