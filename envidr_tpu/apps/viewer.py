@@ -38,11 +38,11 @@ label{display:block;margin:8px 0 2px}input,select,button{width:100%}
   <select id=mode><option>image</option><option>depth</option>
     <option>normal_image</option><option>diffuse_image</option>
     <option>specular_image</option><option>roughness_image</option></select>
-  <label>resolution</label>
-  <select id=res><option>128</option><option selected>256</option><option>400</option></select>
+  <label>resolution (auto = 200ms frame budget)</label>
+  <select id=res><option selected>auto</option><option>128</option><option>256</option><option>400</option></select>
   <label>env index</label><input id=env type=number value=0 min=0 max=10>
   <label>env rotation (deg)</label><input id=rot type=range value=0 min=0 max=360>
-  <label>train steps / frame</label><input id=train type=number value=0 min=0 max=64>
+  <label>train steps / frame (-1 = auto, 500ms budget)</label><input id=train type=number value=0 min=-1 max=64>
   <button id=go style="margin-top:10px">refresh</button>
   <div id=stats></div>
 </div>
@@ -91,29 +91,57 @@ class ViewerState:
             self.material = (mats[0] if mats is not None and len(mats) else
                              dict(roughness=0.3, metallic=0.9,
                                   color=(0.7, 0.7, 0.7)))
+        # dynamic frame budgets (gui.py:109-161): render downscale targets
+        # 200 ms, train steps/frame target 500 ms, both with 20% hysteresis
+        self.auto_base = 400
+        self.downscale = 0.5
+        self.auto_train_steps = 16
 
     def frame(self, az, el, radius, size, render_mode, env_index, rot_deg,
               train_steps) -> tuple[bytes, str]:
+        import time
         from envidr_tpu.geometry.rays import nerf_matrix_to_ngp, pose_spherical
         info = ""
         with self.lock:
-            if train_steps > 0 and self.dataset is not None:
+            if train_steps and self.dataset is not None:
+                steps = self.auto_train_steps if train_steps < 0 else train_steps
+                t0 = time.perf_counter()
                 stats = self.trainer.train_one_epoch_steps(
-                    self.dataset, train_steps, self.mode)
-                info = (f"step {self.trainer.global_step} "
+                    self.dataset, steps, self.mode)
+                t_ms = (time.perf_counter() - t0) * 1e3
+                if train_steps < 0:
+                    # dynamic train steps (gui.py:109-113)
+                    full_t = t_ms / steps * 16
+                    new = min(16, max(4, int(16 * 500 / max(full_t, 1e-3))))
+                    if not 0.8 * steps <= new <= 1.2 * steps:
+                        self.auto_train_steps = new
+                info = (f"step {self.trainer.global_step} (+{steps}) "
                         f"loss {stats['loss']:.4f}")
+            if str(size) == "auto":
+                H = W = max(16, int(self.auto_base * self.downscale) // 8 * 8)
+            else:
+                H = W = int(size)
             pose = nerf_matrix_to_ngp(
                 np.asarray(pose_spherical(az, el, radius), np.float32),
                 scale=self.opt.scale)
-            H = W = int(size)
             focal = W / (2 * np.tan(0.6194058656692505 / 2))
-            # render the LIVE weights, not the EMA — train-per-frame must be
-            # visible immediately (the EMA lags ~20 epochs at 0.95)
+            t0 = time.perf_counter()
+            # render the LIVE weights — train-per-frame must be visible
+            # immediately (the EMA, though per-step now, still smooths)
             res = self.trainer.render_image(
                 pose, (focal, focal, W / 2, H / 2), H, W,
                 env_rot_radian=np.deg2rad(rot_deg) if rot_deg else None,
                 mode=self.mode, env_index=int(env_index),
                 material=self.material, use_ema=False)
+            render_ms = (time.perf_counter() - t0) * 1e3
+            if str(size) == "auto":
+                # dynamic resolution (gui.py:141-147): 200 ms render budget
+                full_t = render_ms / (self.downscale ** 2)
+                new = min(1.0, max(0.25, float(np.sqrt(200 / max(full_t, 1e-3)))))
+                if not 0.8 * self.downscale <= new <= 1.2 * self.downscale:
+                    self.downscale = new
+                info = (info + " | " if info else "") + \
+                    f"{W}x{H} {render_ms:.0f} ms (auto)"
         img = self._to_rgb(res, render_mode)
         buf = io.BytesIO()
         import imageio.v2 as imageio
@@ -164,10 +192,11 @@ def make_handler(state: ViewerState):
             def g(k, d):
                 return float(q.get(k, [d])[0])
 
+            size = q.get("size", ["auto"])[0]
             try:
                 png, info = state.frame(
                     g("az", 35), g("el", -25), g("r", 3.2),
-                    int(g("size", 256)),
+                    size if size == "auto" else int(float(size)),
                     q.get("mode", ["image"])[0],
                     int(g("env", 0)), g("rot", 0), int(g("train", 0)))
             except Exception as e:  # surface render errors to the page

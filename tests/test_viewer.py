@@ -28,6 +28,22 @@ def test_frame_png_and_train_steps():
     assert "loss" in info
 
 
+def test_auto_budgets():
+    """Dynamic resolution (200ms) + dynamic train steps (500ms), gui.py:109-161."""
+    state = _make_state()
+    state.auto_base = 32             # keep CPU renders tiny
+    png, info = state.frame(35, -25, 3.2, "auto", "image", 0, 0, -1)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert "(auto)" in info and "loss" in info
+    assert 0.25 <= state.downscale <= 1.0
+    assert 4 <= state.auto_train_steps <= 16
+    # CPU render of a tiny frame is slow relative to 200ms -> downscale should
+    # move toward the floor after a couple of frames (hysteresis permitting)
+    d0 = state.downscale
+    state.frame(35, -25, 3.2, "auto", "image", 0, 0, 0)
+    assert 0.25 <= state.downscale <= max(d0, 1.0)
+
+
 def test_http_roundtrip():
     from http.server import HTTPServer
     state = _make_state()
