@@ -66,6 +66,9 @@ class HashGridSpec:
     # 'mixed': levels whose table fits VMEM use the Pallas K-accumulator
     # scatter (~24 Mrows/s vs XLA's ~10; ops/pallas_scatter.py), the hashed
     # levels stay on XLA scatter-add.  'xla': all levels via XLA.
+    # 'sorted': NO scatter at all — sort rows by table index, cumsum, and
+    # difference the cumsum at each slot's boundary (searchsorted); turns the
+    # ~100ns/row scatter wall into sort + gathers (~24ns/row) + dense ops.
     scatter_impl: str = "xla"
 
     # derived (filled in __post_init__)
@@ -244,6 +247,9 @@ def _scatter_rows(blocked_shape_like, base, rows, spec: HashGridSpec = None):
         return jnp.zeros((S, W), jnp.float32).at[i].add(
             r, mode="promise_in_bounds")
 
+    if spec is not None and spec.scatter_impl == "sorted":
+        return _sorted_segment_rows(base, rows, S).astype(
+            blocked_shape_like.dtype)
     if spec is None or spec.scatter_impl != "mixed":
         return jax.vmap(one)(base, rows).astype(blocked_shape_like.dtype)
 
@@ -267,6 +273,43 @@ def _scatter_rows(blocked_shape_like, base, rows, spec: HashGridSpec = None):
         for j, l in enumerate(xla_levels):
             outs[l] = res[j]
     return jnp.stack(outs).astype(blocked_shape_like.dtype)
+
+
+def _sorted_segment_rows(base, rows, S: int):
+    """Scatter-free scatter-add: [L,B] x [L,B,W] -> [L,S,W].
+
+    XLA scatter-add on TPU is hard-capped at ~10 Mrows/s (~100 ns/row,
+    measured; flags/bf16/chunking all flat — docs/PERF_R2.md).  This routes
+    the same reduction through ops that ARE fast on TPU:
+
+      1. argsort rows by table index        (dense bitonic sort)
+      2. gather rows into sorted order      (~24 ns/row)
+      3. inclusive cumsum over sorted rows  (dense, bandwidth-bound)
+      4. right = searchsorted(keys, 0..S)   (dense binary search, method=sort)
+      5. out[s] = csum[right[s]] - csum[right[s-1]]   (one S-row gather + sub)
+
+    No scatter anywhere.  Precision note: segment sums come from differences
+    of the running cumsum, so the absolute error of a segment is ~eps * (sum
+    of |rows| before it) — fine for SGD gradients (tested vs exact scatter at
+    1e-3 rtol on training-scale magnitudes).
+    Reference analogue: the CUDA kernel's atomicAdd accumulation
+    (hashencoder/src/hashencoder.cu:258-346), re-designed for TPU.
+    """
+    B = base.shape[1]
+    W = rows.shape[-1]
+
+    def one(i, r):
+        order = jnp.argsort(i)
+        keys = i[order]
+        vals = r[order].astype(jnp.float32)
+        csum = jnp.concatenate(
+            [jnp.zeros((1, W), jnp.float32), jnp.cumsum(vals, axis=0)])
+        right = jnp.searchsorted(keys, jnp.arange(S, dtype=keys.dtype),
+                                 side="right", method="sort")
+        g = csum.at[right].get(mode="promise_in_bounds")       # [S, W]
+        return g - jnp.concatenate([jnp.zeros((1, W), jnp.float32), g[:-1]])
+
+    return jax.vmap(one)(base, rows)
 
 
 import functools as _functools

@@ -31,6 +31,54 @@ def test_fits_vmem_partition():
     assert not fits_vmem(524288, 16)
 
 
+def test_sorted_segment_rows_matches_xla():
+    """Scatter-free sort+cumsum reduction == exact scatter-add."""
+    from envidr_tpu.ops.hashgrid import _sorted_segment_rows
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    L, B, S, W = 3, 5000, 4096, 16
+    idx = jax.random.randint(k1, (L, B), 0, S, jnp.int32)
+    rows = jax.random.normal(k2, (L, B, W), jnp.float32) * 1e-2
+    ours = _sorted_segment_rows(idx, rows, S)
+    ref = jax.vmap(lambda i, r: jnp.zeros((S, W), jnp.float32).at[i].add(r))(
+        idx, rows)
+    # cumsum-difference precision: abs error ~ eps * running |sum|
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=0, atol=1e-4)
+    # empty slots stay exactly zero-summed (difference of equal cumsums)
+    empty = ~np.isin(np.arange(S), np.asarray(idx[0]))
+    assert np.abs(np.asarray(ours)[0][empty]).max() < 1e-4
+
+
+def test_sorted_grad_matches_xla_grad():
+    """End-to-end encoder gradients under scatter_impl='sorted'."""
+    base = dict(num_levels=6, level_dim=2, base_resolution=4,
+                desired_resolution=64, log2_hashmap_size=10,
+                interpolation="smoothstep", indexing="rolled_tiled")
+    spec_x = HashGridSpec(**base, scatter_impl="xla")
+    spec_s = HashGridSpec(**base, scatter_impl="sorted")
+    emb = init_hash_params(jax.random.PRNGKey(0), spec_x)["embeddings"]
+    x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
+
+    def loss(e, spec):
+        return jnp.sum(hash_encode(x, e, spec) ** 2)
+
+    g_x = jax.grad(loss)(emb, spec_x)
+    g_s = jax.grad(loss)(emb, spec_s)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_x),
+                               rtol=0, atol=1e-4)
+
+    def loss2(e, spec):
+        def f(xx):
+            return jnp.sum(hash_encode(xx, e, spec) ** 2)
+        return jnp.sum(jax.grad(f)(x) ** 2)
+
+    h_x = jax.grad(loss2)(emb, spec_x)
+    h_s = jax.grad(loss2)(emb, spec_s)
+    np.testing.assert_allclose(np.asarray(h_s), np.asarray(h_x),
+                               rtol=0, atol=2e-4)
+
+
 def test_mixed_grad_matches_xla_grad():
     """End-to-end: encoder gradients identical under scatter_impl='mixed'."""
     base = dict(num_levels=6, level_dim=2, base_resolution=4,
