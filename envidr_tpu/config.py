@@ -147,6 +147,11 @@ class Options:
     beta_min: float = 0.0001
     beta_max: float = 1.0
     beta_min_sched: Tuple[float, ...] = ()
+    # [start, end, epochs]: host-side geometric anneal of an UPPER cap on the
+    # learned Laplace beta (projected at epoch boundaries — no recompile).
+    # The reference's beta is free and takes ~500 epochs to sharpen out of
+    # the fog equilibrium (docs/QUALITY_R2.md); this forces the escape.
+    beta_cap_sched: Tuple[float, ...] = ()
 
     # losses
     relsdf_loss_start_iter: int = 0

@@ -434,8 +434,12 @@ def forward_geometry(params, cfg: NetworkConfig, xyz, material=None, level_mask=
 
 
 def sdf_to_sigma(params, cfg: NetworkConfig, sdf, *, dirs=None, dists=None,
-                 normals=None, cos_anneal_ratio: float = 1.0):
-    """Laplace density or NeuS alpha (network.py:497-522)."""
+                 normals=None, cos_anneal_ratio: float = 1.0, beta_cap=None):
+    """Laplace density or NeuS alpha (network.py:497-522).
+
+    ``beta_cap``: optional traced upper bound on the effective Laplace beta
+    (the beta_cap_sched anneal — forces the fog-equilibrium escape without
+    recompiling; see config.py)."""
     if cfg.use_neus_sdf:
         if dists is None:
             dists = 2.0 * density_ops.SQRT3 / 1024.0
@@ -444,6 +448,8 @@ def sdf_to_sigma(params, cfg: NetworkConfig, sdf, *, dirs=None, dists=None,
             gradients=normals, cos_anneal_ratio=cos_anneal_ratio,
             n_detach=cfg.neus_n_detach)
     beta = density_ops.laplace_beta(params["sdf_density"], cfg.beta_min, cfg.beta_max)
+    if beta_cap is not None:
+        beta = jnp.minimum(beta, beta_cap)
     return density_ops.laplace_density(sdf, beta)
 
 
@@ -484,7 +490,10 @@ def geometry_with_normals(params, cfg: NetworkConfig, xyz, material=None,
     # GradScaler to skip those); the smooth form bounds the gradient at 1/eps
     # and is numerically identical for healthy |g| ~ 1.
     normals = _safe_normalize(normals)
-    if normal_anneal_ratio < 1.0:
+    # ratio may be a traced per-epoch scalar (schedules ride the weights
+    # dict); only skip the blend when it is STATICALLY 1.0
+    if not (isinstance(normal_anneal_ratio, (int, float))
+            and normal_anneal_ratio >= 1.0):
         anneal = _safe_normalize(jax.lax.stop_gradient(xyz))
         normals = _safe_normalize(
             normals * normal_anneal_ratio + (1.0 - normal_anneal_ratio) * anneal)

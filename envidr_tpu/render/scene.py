@@ -64,6 +64,8 @@ def render_scene(
     env_rot_radian=None,
     level_mask: Optional[jnp.ndarray] = None,
     normal_anneal_ratio: float = 1.0,
+    cos_anneal_ratio=None,          # traced override of opts.cos_anneal_ratio
+    beta_cap=None,                  # traced upper bound on Laplace beta
     nears_fars=None,                # optional precomputed (nears, fars)
 ) -> Dict[str, Any]:
     N = rays_o.shape[0]
@@ -112,7 +114,8 @@ def render_scene(
     if cfg.use_sdf:
         sigmas = sdf_to_sigma(
             params, cfg, geo["sdf"], dirs=dirs, dists=m.dts, normals=normals,
-            cos_anneal_ratio=opts.cos_anneal_ratio)
+            cos_anneal_ratio=(opts.cos_anneal_ratio if cos_anneal_ratio is None
+                              else cos_anneal_ratio), beta_cap=beta_cap)
     else:
         sigmas = geo["sigma"]
     sigmas = jnp.where(m.mask, opts.density_scale * sigmas, 0.0)

@@ -142,6 +142,20 @@ def resolve(opt: Options, epoch: int, global_step: int = 0) -> StepSchedule:
     if 0 <= opt.update_extra_before <= epoch:
         update_interval = -1
 
+    # dynamic per-epoch scalars ALSO ride the traced weights dict (reserved
+    # "_" keys): the compiled step is cached on the static schedule hash, so
+    # closure-captured floats would freeze at their first-compile values —
+    # these must be jit inputs, not constants.
+    w["_beta_min"] = beta_min
+    beta_cap = opt.beta_max
+    if opt.beta_cap_sched:
+        bc_s, bc_e, bc_it = opt.beta_cap_sched
+        beta_cap = float(bc_s * (bc_e / bc_s) ** min(epoch / bc_it, 1.0))
+    w["_beta_cap"] = beta_cap
+    w["_cos_anneal"] = cos_anneal
+    w["_normal_anneal"] = normal_anneal
+    w["_levels"] = float(enabled_levels if 0 < enabled_levels else opt.num_levels)
+
     return StepSchedule(
         flags=flags, weights=w, diffuse_only=diffuse_only, indir_ref=indir_ref,
         grad_rays=grad_rays, normal_anneal_ratio=normal_anneal,

@@ -350,11 +350,24 @@ class Trainer:
                 with_backsdf=sched.flags.use_backsdf_loss
                 or sched.flags.use_eikonal_loss)
 
-        lm = level_mask(sched.enabled_levels, cfg.num_levels)
+        # static gates: whether each schedule is in play at all is an opt-level
+        # fact; the per-epoch VALUES ride the traced weights dict (reserved
+        # "_" keys) so the cached compiled step never freezes them.
+        has_level_sched = bool(opt.enabled_levels_sched)
+        has_normal_anneal = opt.normal_anneal_iters > 0
+        has_cos_anneal = bool(cfg.use_neus_sdf and opt.cos_anneal_steps > 0)
+        lm_static = level_mask(sched.enabled_levels, cfg.num_levels)
 
         def step(state, batch, key, weights):
             params = state["params"]
             k_rays, k_bg, k_perturb = jax.random.split(key, 3)
+            lm = ((jnp.arange(cfg.num_levels) < weights["_levels"])
+                  .astype(jnp.float32) if has_level_sched else lm_static)
+            normal_anneal = (weights["_normal_anneal"] if has_normal_anneal
+                             else 1.0)
+            cos_anneal = weights["_cos_anneal"] if has_cos_anneal else None
+            beta_cap = (weights["_beta_cap"] if opt.beta_cap_sched
+                        and cfg.use_sdf and not cfg.use_neus_sdf else None)
 
             pose = batch["pose"][None]                          # [1, 4, 4]
             if sched.use_error_map:
@@ -428,7 +441,7 @@ class Trainer:
                         p, cfg, ropts, iopts, state["grid"].bitfield, rays_o,
                         rays_d, bg, aabb, key=k_perturb, obj_aabb=obj_aabb,
                         level_mask=lm,
-                        normal_anneal_ratio=sched.normal_anneal_ratio)
+                        normal_anneal_ratio=normal_anneal)
                 elif mode == "scene" and opt.error_bound_sample:
                     # VolSDF error-bound strategy (renderer.py:373-374)
                     from envidr_tpu.render.volsdf import (
@@ -443,7 +456,8 @@ class Trainer:
                     out = render_scene(
                         p, cfg, ropts, state["grid"].bitfield, rays_o, rays_d,
                         bg, aabb, key=k_perturb, level_mask=lm,
-                        normal_anneal_ratio=sched.normal_anneal_ratio)
+                        normal_anneal_ratio=normal_anneal,
+                        cos_anneal_ratio=cos_anneal, beta_cap=beta_cap)
                 else:
                     out = render_sphere(
                         p, cfg, ropts, rays_o, rays_d, bg,
@@ -451,10 +465,12 @@ class Trainer:
                         env_index=batch.get("env_index", 0),
                         r_images=r_pix,
                         key=k_perturb, level_mask=lm,
-                        normal_anneal_ratio=sched.normal_anneal_ratio)
+                        normal_anneal_ratio=normal_anneal)
                 from envidr_tpu.ops.density import laplace_beta
-                beta = laplace_beta(p["sdf_density"], sched.beta_min,
+                beta = laplace_beta(p["sdf_density"], weights["_beta_min"],
                                     cfg.beta_max) if cfg.use_sdf and not cfg.use_neus_sdf else None
+                if beta is not None and beta_cap is not None:
+                    beta = jnp.minimum(beta, beta_cap)
                 total, terms = compute_losses(
                     out, gt_rgb, sched.flags, weights, beta=beta,
                     alpha_mask=alpha_mask, roughness=out.get("roughness"))
@@ -506,6 +522,15 @@ class Trainer:
         self.epoch += 1
         sched = resolve(opt, self.epoch, self.global_step)
         self._sched = sched
+        if (opt.beta_cap_sched and self.cfg.use_sdf
+                and not self.cfg.use_neus_sdf):
+            # project the learned Laplace beta under the annealed cap
+            # (config.beta_cap_sched) — the fog-equilibrium escape lever
+            bc_s, bc_e, bc_it = opt.beta_cap_sched
+            cap = float(bc_s * (bc_e / bc_s) ** min(self.epoch / bc_it, 1.0))
+            sd = dict(self.state["params"]["sdf_density"])
+            sd["beta"] = jnp.minimum(jnp.asarray(sd["beta"]), cap)
+            self.state["params"] = dict(self.state["params"], sdf_density=sd)
         if opt.error_map and "error_map" not in self.state:
             # lazy: sized by the dataset (provider.py:277-281; init 0.1)
             self.state["error_map"] = jnp.full((len(dataset), 128 * 128), 0.1)

@@ -202,3 +202,76 @@ def test_process_shard_dataset(tmp_path, ds):
     full = NeRFDataset(root, "train", scale=0.8)
     shard = NeRFDataset(root, "train", scale=0.8, process_shard=True)
     assert len(shard) == len(full) == 3
+
+
+def test_dynamic_schedule_values_are_traced_not_baked():
+    """Per-epoch scalars (_cos_anneal, _beta_min, ...) must be jit INPUTS:
+    the compiled step is cached on the static schedule hash, so a closure
+    float would freeze at its first-compile value (the round-2 bug where
+    cos_anneal stayed at its epoch-1 value for the whole run)."""
+    from envidr_tpu.train.schedules import resolve
+
+    opt = tiny_opt(use_neus_sdf=True, cos_anneal_steps=500,
+                   normal_anneal_iters=10)
+    trainer = Trainer(opt, network_config(opt))
+    trainer.update_extra_state()
+    ds = TinyDataset()
+    sched = resolve(opt, 1, 0)
+    trainer._sched = sched
+    K = trainer.sample_budget(sched)
+    step = trainer._get_train_step(sched, K, sched.num_rays, ds.H, ds.W,
+                                   ds.C, "scene")
+    batch = {"pose": ds.device_poses[0], "image": ds.device_images[0],
+             "intrinsics": jnp.asarray(ds.intrinsics, jnp.float32),
+             "img_idx": jnp.asarray(0, jnp.int32)}
+    key = jax.random.PRNGKey(0)
+
+    def run(**over):
+        w = dict(sched.weights)
+        w.update(over)
+        state = jax.tree.map(jnp.copy, trainer.state)
+        _, m = step(state, batch, key, {k: jnp.asarray(v) for k, v in w.items()})
+        return float(m["loss"])
+
+    base = run()
+    # same weights -> identical loss (determinism baseline)
+    assert run() == base
+    # a different cos-anneal ratio must change the SAME compiled step's output
+    assert run(_cos_anneal=0.0 if sched.weights["_cos_anneal"] > 0.5 else 1.0) != base
+    # and a different normal-anneal ratio too
+    assert run(_normal_anneal=0.123) != base
+
+
+def test_beta_cap_projection():
+    """beta_cap_sched: traced render-time cap + host-side param projection."""
+    from envidr_tpu.train.schedules import resolve
+
+    opt = tiny_opt(beta_cap_sched=[0.05, 0.005, 10.0], init_beta=0.1)
+    trainer = Trainer(opt, network_config(opt))
+    trainer.update_extra_state()
+    ds = TinyDataset()
+    # resolve exposes the annealed cap as a traced weight
+    sched = resolve(opt, 1, 0)
+    cap_ep1 = 0.05 * (0.005 / 0.05) ** (1 / 10.0)
+    assert abs(sched.weights["_beta_cap"] - cap_ep1) < 1e-9
+    # the SAME compiled step must respond to a changed cap (traced, not baked)
+    trainer._sched = sched
+    K = trainer.sample_budget(sched)
+    step = trainer._get_train_step(sched, K, sched.num_rays, ds.H, ds.W,
+                                   ds.C, "scene")
+    batch = {"pose": ds.device_poses[0], "image": ds.device_images[0],
+             "intrinsics": jnp.asarray(ds.intrinsics, jnp.float32),
+             "img_idx": jnp.asarray(0, jnp.int32)}
+    key = jax.random.PRNGKey(0)
+
+    def run(cap):
+        w = dict(sched.weights, _beta_cap=cap)
+        state = jax.tree.map(jnp.copy, trainer.state)
+        _, m = step(state, batch, key, {k: jnp.asarray(v) for k, v in w.items()})
+        return float(m["loss"])
+
+    assert run(0.001) != run(0.1)
+    # and the host-side projection engages at epoch start (beta falls below
+    # its init even after within-epoch drift)
+    trainer.train_one_epoch(ds, mode="scene")
+    assert float(trainer.state["params"]["sdf_density"]["beta"]) < 0.1
