@@ -69,7 +69,68 @@ def render(c2w, H, W, focal):
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 
-def write_split(out, split, n, size, focal, seed):
+# --shiny scene: a near-mirror sphere beside diffuse ones — its appearance
+# includes one-bounce INTERREFLECTIONS of the neighbors, the signal the
+# indir_ref render models (/root/reference/nerf/renderer.py:437-513).
+SHINY_SPHERES = [  # center, radius, albedo, mirror?
+    (np.array([0.0, 0.0, 0.0]), 0.42, np.array([0.9, 0.9, 0.92]), True),
+    (np.array([0.5, 0.28, -0.1]), 0.24, np.array([0.85, 0.25, 0.2]), False),
+    (np.array([-0.45, -0.3, 0.25]), 0.2, np.array([0.2, 0.55, 0.9]), False),
+]
+
+
+def _env_color(dirs):
+    """Analytic sky for bounce rays: vertical gradient + warm sun lobe."""
+    up = np.clip(dirs[..., 1], -1, 1)
+    sky = np.stack([0.35 + 0.25 * up, 0.45 + 0.3 * up, 0.65 + 0.3 * up], -1)
+    sun = np.clip(np.sum(dirs * LIGHT_DIR, -1), 0, 1) ** 32
+    return np.clip(sky + sun[..., None] * np.array([1.2, 1.0, 0.7]), 0, 4)
+
+
+def trace_shiny(o, dirs, depth=0):
+    """One-bounce recursive tracer.  o: [..,3] or [3]; dirs [..,3].
+    Returns (rgb [..,3], hit [..])."""
+    shape = dirs.shape[:-1]
+    best_t = np.full(shape, np.inf)
+    rgb = np.zeros(shape + (3,))
+    hit = np.zeros(shape, bool)
+    o = np.broadcast_to(o, dirs.shape)
+    for center, radius, albedo, mirror in SHINY_SPHERES:
+        oc = o - center
+        b = np.sum(dirs * oc, -1)
+        c = np.sum(oc * oc, -1) - radius**2
+        disc = b * b - c
+        m = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0))
+        m &= (t > 1e-4) & (t < best_t)
+        p = o + dirs * t[..., None]
+        n = (p - center) / radius
+        shade = 0.25 + 0.75 * np.clip(np.sum(n * LIGHT_DIR, -1), 0, 1)
+        if mirror and depth < 1:
+            refl = dirs - 2.0 * np.sum(dirs * n, -1, keepdims=True) * n
+            bounce, bhit = trace_shiny(p + n * 1e-3, refl, depth + 1)
+            bounce = np.where(bhit[..., None], bounce, _env_color(refl))
+            col = 0.85 * bounce * albedo[None] + 0.15 * albedo * shade[..., None]
+        else:
+            col = albedo[None] * shade[..., None]
+        rgb = np.where(m[..., None], col, rgb)
+        best_t = np.where(m, t, best_t)
+        hit |= m
+    return rgb, hit
+
+
+def render_shiny(c2w, H, W, focal):
+    i, j = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+    dirs = np.stack([(i - W / 2) / focal, -(j - H / 2) / focal,
+                     -np.ones_like(i)], -1)
+    dirs = dirs @ c2w[:3, :3].T
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    rgb, hit = trace_shiny(c2w[:3, 3], dirs)
+    img = np.concatenate([rgb, hit[..., None].astype(float)], -1)
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
+def write_split(out, split, n, size, focal, seed, shiny=False):
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(out, split), exist_ok=True)
     frames = []
@@ -83,7 +144,7 @@ def write_split(out, split, n, size, focal, seed):
         theta = rng.uniform(0, 2 * np.pi)
         phi = rng.uniform(-0.5 * np.pi, 0.1)
         c2w = pose_spherical(theta, phi)
-        img = render(c2w, size, size, focal)
+        img = (render_shiny if shiny else render)(c2w, size, size, focal)
         fp = f"{split}/r_{k}.png"
         save(os.path.join(out, fp), img)
         frames.append({"file_path": fp, "transform_matrix": c2w.tolist()})
@@ -99,11 +160,13 @@ def main():
     p.add_argument("--n-train", type=int, default=50)
     p.add_argument("--n-val", type=int, default=5)
     p.add_argument("--n-test", type=int, default=5)
+    p.add_argument("--shiny", action="store_true",
+                   help="mirror-sphere scene with one-bounce interreflections")
     args = p.parse_args()
     focal = args.size * 1.25
-    write_split(args.out, "train", args.n_train, args.size, focal, 0)
-    write_split(args.out, "val", args.n_val, args.size, focal, 1)
-    write_split(args.out, "test", args.n_test, args.size, focal, 2)
+    write_split(args.out, "train", args.n_train, args.size, focal, 0, args.shiny)
+    write_split(args.out, "val", args.n_val, args.size, focal, 1, args.shiny)
+    write_split(args.out, "test", args.n_test, args.size, focal, 2, args.shiny)
     print(f"wrote {args.out}: {args.n_train}/{args.n_val}/{args.n_test} frames "
           f"@{args.size}px")
 
