@@ -114,12 +114,20 @@ def main(argv=None):
     p.add_argument("--color", type=float, nargs=3, default=[0.7, 0.7, 0.7])
     p.add_argument("--size", type=int, nargs=2, default=[256, 512])
     p.add_argument("--out", default="unwrap.png")
+    p.add_argument("--env-index", type=int, default=0,
+                   help="which stacked env net to unwrap (ckpt mode)")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="override Options fields (same dialect as the CLI)")
     args = p.parse_args(argv)
 
-    from envidr_tpu.config import load_options, network_config
+    from envidr_tpu.config import load_options, network_config, _parse_value
 
     if args.config:
-        opt = load_options(args.config)
+        overrides = {}
+        for kv in args.set:
+            k, v = kv.split("=", 1)
+            overrides[k.strip()] = _parse_value(v)
+        opt = load_options(args.config, **overrides)
         cfg = network_config(opt)
         from envidr_tpu.train.trainer import Trainer
         tr = Trainer(opt, cfg)
@@ -151,7 +159,7 @@ def main(argv=None):
 
     img = unwrap_env(params, cfg, env_h=args.size[0], env_w=args.size[1],
                      material=material, unwrap_roughness=args.roughness,
-                     radius=radius)
+                     radius=radius, env_index=args.env_index)
     img8 = (np.clip(np.asarray(linear_to_srgb(jnp.asarray(img))), 0, 1)
             * 255).astype(np.uint8)
     import imageio.v2 as imageio

@@ -37,6 +37,25 @@ timeout 1200 python -m envidr_tpu.apps.cli --config configs/scenes/synth_spheres
   --set test_split=val > exps/scene_ours_relight.log 2>&1
 log "S3 rc=$? $(grep -h '\[test\]' exps/scene_ours_relight.log | tail -1)"
 
+# S3b: unwrap OUR env bank (no reference weights) + env-rotation turntable
+log "S3b unwrap our env bank"
+mkdir -p exps/unwraps
+for e in 0 3 5; do
+  timeout 900 python -m envidr_tpu.apps.unwrap \
+    --config configs/neural_renderer_synth.ini \
+    --ckpt exps/env_sphere/checkpoints/best.ckpt \
+    --set encoding_pos=cp --set cp_rank=32 \
+    --out exps/unwraps/our_env${e}.png --env-index ${e} \
+    >> exps/unwrap_r3.log 2>&1 || log "unwrap env${e} failed"
+done
+log "S3b done"
+log "S3c env-rotation turntable on the scene"
+timeout 1200 python -m envidr_tpu.apps.turntable \
+  --config configs/scenes/synth_spheres_ours.ini --ckpt best \
+  --n-frames 8 --size 256 --env-rot --out exps/scene_ours_envrot.mp4 \
+  > exps/turntable_r3.log 2>&1
+log "S3c rc=$?"
+
 # S4: renv (interreflection MLP) pretrain on the mirror r_images dataset
 log "S4 renv pretrain"
 timeout 3600 python -m envidr_tpu.apps.cli --config configs/neural_renderer_renv.ini \
