@@ -65,7 +65,23 @@ class EnvSphereDataset:
 
     def _cache(self, name, builder):
         if name not in self._dev:
-            self._dev[name] = builder()
+            # time the host->device upload: through the single-tenant tunnel a
+            # 1200-image preload is a visible chunk of epoch 1 (weak #7 in the
+            # round-2 review — make the overhead attributable, not mysterious)
+            import time
+            t0 = time.perf_counter()
+            v = builder()
+            try:
+                import jax
+                jax.block_until_ready(v)
+            except Exception:
+                pass
+            dt = time.perf_counter() - t0
+            if dt > 2.0:
+                nbytes = getattr(v, "nbytes", 0)
+                print(f"[env_dataset] device upload '{name}': "
+                      f"{nbytes / 1e6:.0f} MB in {dt:.1f}s")
+            self._dev[name] = v
         return self._dev[name]
 
     @property

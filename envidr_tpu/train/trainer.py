@@ -150,6 +150,7 @@ class Trainer:
         self.stats: Dict[str, Any] = {"loss": [], "results": [], "ckpts": [],
                                       "best_result": None}
         self.use_grid = not (opt.env_sph_mode or opt.render_env_on_sphere)
+        self._compile_logged = False
         try:  # scalar logging (reference uses tensorboardX too, utils.py:933)
             from tensorboardX import SummaryWriter
             self.tb = SummaryWriter(os.path.join(self.workspace, "run"))
@@ -561,9 +562,17 @@ class Trainer:
                 r_all = getattr(dataset, "device_r_images", None)
                 if r_all is not None:
                     batch["r_images"] = r_all[i]
+            t_step0 = time.time() if not self._compile_logged else 0.0
             self.state, metrics = step_fn(self.state, batch, sub,
                                           {k: jnp.asarray(v) for k, v in
                                            sched.weights.items()})
+            if not self._compile_logged:
+                # attribute epoch-1 overhead: first dispatch blocks on the
+                # (remote) compile, so its wall time IS the compile cost
+                jax.block_until_ready(metrics["loss"])
+                print(f"[trainer] first step (incl. compile): "
+                      f"{time.time() - t_step0:.1f}s")
+                self._compile_logged = True
             losses.append(metrics)
             if len(losses) % 8 == 0:
                 # cap the async dispatch queue: the single-tenant tunnel
