@@ -92,3 +92,9 @@ ENVIDR_BENCH_CONFIG=configs/synth_spheres_sorted.ini timeout 1800 python bench.p
   > exps/bench_hash_sorted_r3.json 2>exps/bench_hash_sorted_r3.err
 log "S7 hash-sorted: $(tail -1 exps/bench_hash_sorted_r3.json)"
 log "campaign complete"
+
+# S8: CP step component profile (locates the next perf target)
+log "S8 CP profile"
+timeout 2400 python -u tools/profile_cp.py > exps/profile_cp_r3.log 2>&1
+log "S8 rc=$? $(grep -h 'full step' exps/profile_cp_r3.log | tail -1)"
+log "campaign complete (with S8)"
