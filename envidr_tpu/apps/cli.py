@@ -156,8 +156,15 @@ def main(argv=None):
 
     outdir = os.path.join(opt.workspace, "results")
     os.makedirs(outdir, exist_ok=True)
+    # sphere mode needs material/env conditioning for the render (the crash
+    # here used to skip the env-bank export below — r3 pretrain run)
+    render_kw = {}
+    if mode == "sphere":
+        render_kw = dict(
+            material=val_set.materials[0],
+            env_index=int(np.asarray(val_set.env_indices[0])))
     res = trainer.render_image(val_set.poses[0], val_set.intrinsics,
-                               val_set.H, val_set.W, mode=mode)
+                               val_set.H, val_set.W, mode=mode, **render_kw)
     _save_images(res, outdir, "final", opt)
 
     if args.save_mesh:
