@@ -108,8 +108,14 @@ def main(argv=None):
         log(f"[test] PSNR = {psnr:.3f}")
         outdir = os.path.join(opt.workspace, "results")
         os.makedirs(outdir, exist_ok=True)
+        render_kw = {}
+        if mode == "sphere":  # sphere renders need material/env conditioning
+            render_kw = dict(
+                material=test_set.materials[0],
+                env_index=int(np.asarray(test_set.env_indices[0])))
         res = trainer.render_image(test_set.poses[0], test_set.intrinsics,
-                                   test_set.H, test_set.W, mode=mode)
+                                   test_set.H, test_set.W, mode=mode,
+                                   **render_kw)
         _save_images(res, outdir, "test_0", opt)
         return psnr
 
