@@ -134,6 +134,11 @@ def main(argv=None):
         tr.load_checkpoint(args.ckpt or "latest")
         params = tr.state["ema"]
         material = None
+        if cfg.in_roughness or cfg.in_metallic or cfg.in_base_color:
+            # material-conditioned pretrains need explicit conditioning
+            material = {"roughness": args.roughness,
+                        "metallic": args.metallic,
+                        "color": jnp.asarray([*args.color, 1.0])}
         radius = opt.env_sph_radius
     else:
         # pretrained-MLP mode: build the sphere network from reference ckpts
