@@ -188,6 +188,21 @@ class Trainer:
                     "renv": "renv_net", "diffuse_env": "diffuse_env_net",
                     "specular_env": "env_net"}
         out = dict(params)
+        if "all" in which:
+            # full-state resume (minus optimizer): the renv pretrain needs the
+            # ENTIRE pretrained renderer (sdf/encoder/env bank/heads) frozen —
+            # loading only the color heads leaves the diffuse branch reading
+            # random frozen env_nets and puts an unfixable floor under the
+            # loss (reference analogue: renv training starts from the full
+            # neural-renderer ckpt, main_nerf.py --ckpt + freeze).
+            for key in loaded:
+                if key in out:
+                    try:
+                        out[key] = self._merge_tolerant(out[key], loaded[key])
+                    except Exception:
+                        out[key] = loaded[key]
+            print(f"[trainer] resumed FULL params from {path}")
+            which = [w for w in which if w != "all"]
         for w in which:
             key = name_map.get(w)
             if key and key in loaded:
