@@ -293,3 +293,26 @@ def test_eval_samples_budget_tracks_mean_count():
     # never exceeds the static cap
     trainer.mean_count = 10000.0
     assert trainer._eval_samples_budget("scene") == 256
+
+
+def test_resume_mlps_all_loads_full_state(tmp_path):
+    """resume_mlps=[all] merges every matching subtree from the ckpt; a
+    fresh net absent from the ckpt (renv) stays at its init (the renv
+    pretrain regression: loading only the color heads left frozen random
+    env_nets under the diffuse branch)."""
+    opt = tiny_opt(workspace=str(tmp_path))
+    tr1 = Trainer(opt, network_config(opt), workspace=str(tmp_path))
+    ck = tr1.save_checkpoint(name="donor")
+
+    opt2 = tiny_opt(workspace=str(tmp_path / "b"), use_renv=True,
+                    train_renv=True, color_mlp_path=ck,
+                    resume_mlps=["all"], seed=123)
+    tr2 = Trainer(opt2, network_config(opt2), workspace=str(tmp_path / "b"))
+    # every shared subtree equals the donor...
+    for k in ("sdf_net", "color_net", "encoder"):
+        if k in tr1.state["params"] and k in tr2.state["params"]:
+            a = jax.tree.leaves(tr1.state["params"][k])
+            b = jax.tree.leaves(tr2.state["params"][k])
+            assert all(jnp.allclose(x, y) for x, y in zip(a, b)), k
+    # ...and the fresh renv_net exists and differs from any donor net
+    assert "renv_net" in tr2.state["params"]
