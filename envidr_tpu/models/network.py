@@ -604,10 +604,12 @@ def forward_color(
                     renv_mask = renv_mask & (r_vis > 0.9)
                 _rough = roughness / cfg.roughness_scale
                 remap = jnp.sqrt(jnp.clip(_rough / 0.75, 0.0))
-                if not cfg.learn_indir_blend:
-                    blend = 0.95 * jax.nn.sigmoid(80.0 * (remap - 0.18))
-                else:
+                if cfg.learn_indir_blend and blend_weight is not None:
                     blend = 0.98 * blend_weight
+                else:
+                    # learned blend needs the ensemble head; fall back to the
+                    # reference's roughness-sigmoid otherwise (network.py:631)
+                    blend = 0.95 * jax.nn.sigmoid(80.0 * (remap - 0.18))
             else:
                 remap = jnp.sqrt(jnp.clip(roughness / 0.75, 0.0))
             renv_in = jnp.concatenate([r_images[..., :3], remap], axis=-1)

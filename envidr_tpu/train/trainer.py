@@ -681,14 +681,35 @@ class Trainer:
                 use_bg_net=cfg.bg_radius > 0,
                 grid_size=self.grid_spec.grid_size)
 
+            use_indir_eval = bool(cfg.use_renv and opt.indir_ref_start_iter > 0)
+            if use_indir_eval:
+                # indir-trained models must be EVALUATED with the 3-pass
+                # indirect render too — the specular head consumes renv input
+                # (reference runs the full indirect path at test time,
+                # renderer.py:437-513)
+                from envidr_tpu.render.indirect import (
+                    IndirectOptions, render_scene_indirect)
+                iopts = IndirectOptions(
+                    indir_max_steps=opt.indir_max_steps,
+                    indir_early_stop_steps=opt.indir_early_stop_steps,
+                    indir_num_samples=max(opt.indir_early_stop_steps, 16),
+                    grad_rays=False, grad_rays_scale=opt.grad_rays_scale)
+                obj_aabb_c = (jnp.asarray(opt.obj_aabb, jnp.float32) * opt.scale
+                              if opt.obj_aabb else None)
+
             def chunk_fn(params, bitfield, rays_o, rays_d, bg, aabb, material,
                          env_index, env_rot):
                 # eval rays ride the same data mesh as training; the rendered
                 # chunks come back globally addressable (GSPMD's answer to the
                 # reference's dist.all_gather eval, utils.py:1353-1371)
                 rays_o, rays_d = shard_rays(mesh, rays_o, rays_d)
-                out = render_scene(params, cfg, ropts, bitfield, rays_o, rays_d,
-                                   bg, aabb, env_rot_radian=env_rot)
+                if use_indir_eval:
+                    out = render_scene_indirect(
+                        params, cfg, ropts, iopts, bitfield, rays_o, rays_d,
+                        bg, aabb, obj_aabb=obj_aabb_c, env_rot_radian=env_rot)
+                else:
+                    out = render_scene(params, cfg, ropts, bitfield, rays_o,
+                                       rays_d, bg, aabb, env_rot_radian=env_rot)
                 keep = ("image", "depth", "weights_sum", "normal_image",
                         "diffuse_image", "specular_image", "roughness_image")
                 return {k: out.get(k) for k in keep if k in out}
