@@ -73,6 +73,8 @@ def main():
     for i in range(3):
         m = one_step(i)
     float(m["loss"])
+    if "mean_count" in m:  # let eval derive its adaptive K like training does
+        trainer.mean_count = float(m["mean_count"])
 
     n_steps = 20
     t0 = time.time()

@@ -655,8 +655,13 @@ class Trainer:
         if mode != "scene":
             return 0
         K = self.opt.eval_samples_budget
+        # the marching early-stop bounds samples/ray exactly like training —
+        # an eval K above it is pure padding
+        cap = self.opt.early_stop_steps if self.opt.early_stop_steps > 0 \
+            else min(self.opt.max_steps, 1024)
+        K = min(K, max(cap, 16))
         if self.opt.samples_budget <= 0 and self.mean_count > 0:
-            est = int(self.mean_count * 1.5) + 8
+            est = min(int(self.mean_count * 1.5) + 8, cap)
             k = max(16, self.opt.min_samples_budget)
             while k < est:
                 k *= 2
