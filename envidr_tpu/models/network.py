@@ -434,12 +434,16 @@ def forward_geometry(params, cfg: NetworkConfig, xyz, material=None, level_mask=
 
 
 def sdf_to_sigma(params, cfg: NetworkConfig, sdf, *, dirs=None, dists=None,
-                 normals=None, cos_anneal_ratio: float = 1.0, beta_cap=None):
+                 normals=None, cos_anneal_ratio: float = 1.0, beta_cap=None,
+                 beta_min=None):
     """Laplace density or NeuS alpha (network.py:497-522).
 
     ``beta_cap``: optional traced upper bound on the effective Laplace beta
     (the beta_cap_sched anneal — forces the fog-equilibrium escape without
-    recompiling; see config.py)."""
+    recompiling; see config.py).
+    ``beta_min``: optional traced override of ``cfg.beta_min`` — the
+    reference anneals the density-side floor itself via beta_min_sched
+    (utils.py:1822-1824), so render and loss must share the annealed value."""
     if cfg.use_neus_sdf:
         if dists is None:
             dists = 2.0 * density_ops.SQRT3 / 1024.0
@@ -447,7 +451,9 @@ def sdf_to_sigma(params, cfg: NetworkConfig, sdf, *, dirs=None, dists=None,
             sdf, params["sdf_density"]["variance"], dirs=dirs, dists=dists,
             gradients=normals, cos_anneal_ratio=cos_anneal_ratio,
             n_detach=cfg.neus_n_detach)
-    beta = density_ops.laplace_beta(params["sdf_density"], cfg.beta_min, cfg.beta_max)
+    beta = density_ops.laplace_beta(
+        params["sdf_density"],
+        cfg.beta_min if beta_min is None else beta_min, cfg.beta_max)
     if beta_cap is not None:
         beta = jnp.minimum(beta, beta_cap)
     return density_ops.laplace_density(sdf, beta)

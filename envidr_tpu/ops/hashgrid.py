@@ -286,28 +286,62 @@ def _sorted_segment_rows(base, rows, S: int):
       2. gather rows into sorted order      (~24 ns/row)
       3. inclusive cumsum over sorted rows  (dense, bandwidth-bound)
       4. right = searchsorted(keys, 0..S)   (dense binary search, method=sort)
-      5. out[s] = csum[right[s]] - csum[right[s-1]]   (one S-row gather + sub)
+      5. out[s] = P(right[s]) - P(right[s-1])   (one S-row gather + sub)
 
-    No scatter anywhere.  Precision note: segment sums come from differences
-    of the running cumsum, so the absolute error of a segment is ~eps * (sum
-    of |rows| before it) — fine for SGD gradients (tested vs exact scatter at
-    1e-3 rtol on training-scale magnitudes).
+    No scatter anywhere.  Precision: a GLOBAL cumsum difference has absolute
+    error ~eps * (sum of rows before the segment); at training scale
+    (B~2M rows/level, non-zero-mean grads) that measured 10% relative error
+    on typical segment sums.  So the prefix P is computed CHUNKED:
+
+      * within-chunk cumsum (prefix magnitude capped at ~CS*|row|),
+      * an f32 cumsum over per-chunk totals PLUS its own per-step rounding
+        error, carried as a second "lo" float (compensated, vectorized —
+        no scan), subtracted on the OTHER side of the segment difference so
+        the large hi terms cancel exactly for within-chunk segments.
+
+    Measured at B=2M, mean 5e-3 rows: max err 4e-6 (was 2.2e-3 unchunked);
+    see tests/test_pallas_scatter.py::test_sorted_segment_rows_training_scale.
     Reference analogue: the CUDA kernel's atomicAdd accumulation
     (hashencoder/src/hashencoder.cu:258-346), re-designed for TPU.
     """
     B = base.shape[1]
     W = rows.shape[-1]
+    CS = 4096                                  # chunk size (prefix mag cap)
+    C = -(-B // CS)
+    Bp = C * CS
 
     def one(i, r):
         order = jnp.argsort(i)
         keys = i[order]
         vals = r[order].astype(jnp.float32)
-        csum = jnp.concatenate(
-            [jnp.zeros((1, W), jnp.float32), jnp.cumsum(vals, axis=0)])
+        chunks = jnp.pad(vals, ((0, Bp - B), (0, 0))).reshape(C, CS, W)
+        within = jnp.cumsum(chunks, axis=1)                    # [C, CS, W]
+        totals = within[:, -1]                                 # [C, W]
+        # compensated chunk-prefix: hi = f32 cumsum, lo = cumsum of the
+        # per-step rounding errors (true prefix ≈ hi - lo)
+        hi = jnp.concatenate(
+            [jnp.zeros((1, W), jnp.float32), jnp.cumsum(totals, axis=0)])
+        e = (hi[1:] - hi[:-1]) - totals
+        lo = jnp.concatenate(
+            [jnp.zeros((1, W), jnp.float32), jnp.cumsum(e, axis=0)])
+        # exclusive within-chunk prefix, flat-addressable by position
+        exw = jnp.concatenate(
+            [jnp.zeros((C, 1, W), jnp.float32), within[:, :-1]], axis=1)
+        exw = jnp.concatenate(
+            [exw.reshape(Bp, W), jnp.zeros((1, W), jnp.float32)])
+
         right = jnp.searchsorted(keys, jnp.arange(S, dtype=keys.dtype),
-                                 side="right", method="sort")
-        g = csum.at[right].get(mode="promise_in_bounds")       # [S, W]
-        return g - jnp.concatenate([jnp.zeros((1, W), jnp.float32), g[:-1]])
+                                 side="right", method="sort")   # [S] in 0..B
+        c = right // CS
+        hi_g = hi.at[c].get(mode="promise_in_bounds")
+        lo_g = lo.at[c].get(mode="promise_in_bounds")
+        ex_g = exw.at[right].get(mode="promise_in_bounds")
+
+        def dshift(a):                      # a[s] - a[s-1], a[-1] := 0
+            return a - jnp.concatenate(
+                [jnp.zeros((1, W), jnp.float32), a[:-1]])
+
+        return dshift(hi_g) - dshift(lo_g) + dshift(ex_g)
 
     return jax.vmap(one)(base, rows)
 

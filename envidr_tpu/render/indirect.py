@@ -51,16 +51,21 @@ def render_scene_indirect(
     env_rot_radian=None,
     level_mask=None,
     normal_anneal_ratio: float = 1.0,
+    cos_anneal_ratio=None,          # traced override — must reach ALL passes
+    beta_cap=None,                  # traced Laplace beta cap (beta_cap_sched)
+    beta_min=None,                  # traced Laplace beta floor (beta_min_sched)
 ) -> Dict[str, Any]:
     dt = 2.0 * SQRT3 / iopts.indir_max_steps
     k1, k2, k3 = (jax.random.split(key, 3) if key is not None
                   else (None, None, None))
+    traced = dict(cos_anneal_ratio=cos_anneal_ratio, beta_cap=beta_cap,
+                  beta_min=beta_min)
 
     # ---- pass 1: geometry only (renderer.py:442-447) ----
     geo_opts = dataclasses.replace(opts, geometry_only=True, with_loss_aux=False)
     geo = render_scene(params, cfg, geo_opts, bitfield, rays_o, rays_d,
                        bg_color, aabb, key=k1, level_mask=level_mask,
-                       normal_anneal_ratio=normal_anneal_ratio)
+                       normal_anneal_ratio=normal_anneal_ratio, **traced)
     normals = geo["normal_image"]
     depth = geo["depth"] - dt
     weights_sum = geo["weights_sum"]
@@ -88,7 +93,7 @@ def render_scene_indirect(
     sec = render_scene(params, cfg, sec_opts, bitfield, ref_o, ref_d, 0.0,
                        aabb, key=k2, env_rot_radian=env_rot_radian,
                        level_mask=level_mask,
-                       normal_anneal_ratio=normal_anneal_ratio)
+                       normal_anneal_ratio=normal_anneal_ratio, **traced)
     r_images = jnp.concatenate(
         [sec["image"], sec["weights_sum"][:, None]], axis=-1)        # [N, 4]
     r_images = jnp.where(ref_mask[:, None], r_images, 0.0)
@@ -98,7 +103,7 @@ def render_scene_indirect(
     results = render_scene(params, cfg, main_opts, bitfield, rays_o, rays_d,
                            bg_color, aabb, key=k3, r_images=r_images,
                            env_rot_radian=env_rot_radian, level_mask=level_mask,
-                           normal_anneal_ratio=normal_anneal_ratio)
+                           normal_anneal_ratio=normal_anneal_ratio, **traced)
     results["normal_image"] = normals
     results["depth"] = depth
     results["ref_mask"] = ref_mask

@@ -66,6 +66,7 @@ def render_scene(
     normal_anneal_ratio: float = 1.0,
     cos_anneal_ratio=None,          # traced override of opts.cos_anneal_ratio
     beta_cap=None,                  # traced upper bound on Laplace beta
+    beta_min=None,                  # traced override of cfg.beta_min floor
     nears_fars=None,                # optional precomputed (nears, fars)
 ) -> Dict[str, Any]:
     N = rays_o.shape[0]
@@ -115,7 +116,8 @@ def render_scene(
         sigmas = sdf_to_sigma(
             params, cfg, geo["sdf"], dirs=dirs, dists=m.dts, normals=normals,
             cos_anneal_ratio=(opts.cos_anneal_ratio if cos_anneal_ratio is None
-                              else cos_anneal_ratio), beta_cap=beta_cap)
+                              else cos_anneal_ratio), beta_cap=beta_cap,
+            beta_min=beta_min)
     else:
         sigmas = geo["sigma"]
     sigmas = jnp.where(m.mask, opts.density_scale * sigmas, 0.0)

@@ -73,8 +73,14 @@ def _error_bound(beta, sdf, dists, d_star):
 
 def volsdf_sample(params, cfg: NetworkConfig, opts: VolSDFOptions,
                   rays_o, rays_d, nears, fars, aabb, *,
-                  key: Optional[jax.Array] = None, level_mask=None):
-    """Returns final z_vals [N, S_final] (sorted)."""
+                  key: Optional[jax.Array] = None, level_mask=None,
+                  beta_min=None, beta_cap=None):
+    """Returns final z_vals [N, S_final] (sorted).
+
+    ``beta_min``/``beta_cap`` are traced schedule overrides of the Laplace
+    beta floor/cap (beta_min_sched / beta_cap_sched) — the same plumbing as
+    render_scene, so the sampler's beta follows the annealed schedule instead
+    of the value frozen at first compile."""
     N = rays_o.shape[0]
     T = opts.num_steps
     z = jnp.linspace(0.0, 1.0, T)
@@ -84,8 +90,12 @@ def volsdf_sample(params, cfg: NetworkConfig, opts: VolSDFOptions,
         dz = (fars - nears)[:, None] / T
         z_vals = z_vals + (jax.random.uniform(sub, z_vals.shape) - 0.5) * dz
 
-    beta0 = jax.lax.stop_gradient(
-        laplace_beta(params["sdf_density"], cfg.beta_min, cfg.beta_max))
+    beta0 = laplace_beta(
+        params["sdf_density"],
+        cfg.beta_min if beta_min is None else beta_min, cfg.beta_max)
+    if beta_cap is not None:
+        beta0 = jnp.minimum(beta0, beta_cap)
+    beta0 = jax.lax.stop_gradient(beta0)
     dists0 = z_vals[:, 1:] - z_vals[:, :-1]
     bound = (1.0 / (4.0 * jnp.log(jnp.asarray(opts.eps + 1.0)))) \
         * jnp.sum(dists0**2, -1)
@@ -166,7 +176,8 @@ def volsdf_sample(params, cfg: NetworkConfig, opts: VolSDFOptions,
 def render_volsdf(params, cfg: NetworkConfig, opts: VolSDFOptions,
                   rays_o, rays_d, bg_color, aabb, *,
                   key: Optional[jax.Array] = None, env_index=0,
-                  level_mask=None) -> Dict[str, Any]:
+                  level_mask=None, beta_min=None,
+                  beta_cap=None) -> Dict[str, Any]:
     """run_volsdf equivalent: error-bound sample then shade + composite."""
     from envidr_tpu.models.network import sdf_to_sigma
 
@@ -177,14 +188,16 @@ def render_volsdf(params, cfg: NetworkConfig, opts: VolSDFOptions,
     fars = jnp.where(miss, 2.001, fars)
 
     z_vals = volsdf_sample(params, cfg, opts, rays_o, rays_d, nears, fars,
-                           aabb, key=key, level_mask=level_mask)
+                           aabb, key=key, level_mask=level_mask,
+                           beta_min=beta_min, beta_cap=beta_cap)
     xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     xyz = jnp.clip(xyz, aabb[:3], aabb[3:])
     dirs = jnp.broadcast_to(rays_d[:, None, :], xyz.shape)
 
     geo, normals, sdf_gradients = geometry_with_normals(
         params, cfg, xyz, None, level_mask, need_normals=True)
-    sigmas = opts.density_scale * sdf_to_sigma(params, cfg, geo["sdf"])
+    sigmas = opts.density_scale * sdf_to_sigma(
+        params, cfg, geo["sdf"], beta_min=beta_min, beta_cap=beta_cap)
     sigmas = jnp.where(miss[:, None], 0.0, sigmas)
     roughness = geo["roughness"]
     if roughness is None:

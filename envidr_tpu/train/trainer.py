@@ -384,6 +384,11 @@ class Trainer:
             cos_anneal = weights["_cos_anneal"] if has_cos_anneal else None
             beta_cap = (weights["_beta_cap"] if opt.beta_cap_sched
                         and cfg.use_sdf and not cfg.use_neus_sdf else None)
+            # traced beta floor: with beta_min_sched the DENSITY clamp must
+            # follow the anneal too (reference mutates sdf_density.beta_min,
+            # utils.py:1822-1824), not just the loss-side beta
+            beta_min_t = (weights["_beta_min"] if opt.beta_min_sched
+                          and cfg.use_sdf and not cfg.use_neus_sdf else None)
 
             pose = batch["pose"][None]                          # [1, 4, 4]
             if sched.use_error_map:
@@ -457,7 +462,9 @@ class Trainer:
                         p, cfg, ropts, iopts, state["grid"].bitfield, rays_o,
                         rays_d, bg, aabb, key=k_perturb, obj_aabb=obj_aabb,
                         level_mask=lm,
-                        normal_anneal_ratio=normal_anneal)
+                        normal_anneal_ratio=normal_anneal,
+                        cos_anneal_ratio=cos_anneal, beta_cap=beta_cap,
+                        beta_min=beta_min_t)
                 elif mode == "scene" and opt.error_bound_sample:
                     # VolSDF error-bound strategy (renderer.py:373-374)
                     from envidr_tpu.render.volsdf import (
@@ -467,13 +474,15 @@ class Trainer:
                         upsample_steps=max(opt.upsample_steps, 16),
                         min_near=opt.min_near, perturb=True, training=True)
                     out = render_volsdf(p, cfg, vopts, rays_o, rays_d, bg,
-                                        aabb, key=k_perturb, level_mask=lm)
+                                        aabb, key=k_perturb, level_mask=lm,
+                                        beta_min=beta_min_t, beta_cap=beta_cap)
                 elif mode == "scene":
                     out = render_scene(
                         p, cfg, ropts, state["grid"].bitfield, rays_o, rays_d,
                         bg, aabb, key=k_perturb, level_mask=lm,
                         normal_anneal_ratio=normal_anneal,
-                        cos_anneal_ratio=cos_anneal, beta_cap=beta_cap)
+                        cos_anneal_ratio=cos_anneal, beta_cap=beta_cap,
+                        beta_min=beta_min_t)
                 else:
                     out = render_sphere(
                         p, cfg, ropts, rays_o, rays_d, bg,
@@ -497,11 +506,14 @@ class Trainer:
             updates, new_opt = optimizer.update(grads, state["opt_state"], params)
             new_params = optax.apply_updates(params, updates)
             new_state = dict(state, params=new_params, opt_state=new_opt)
-            # per-STEP EMA, decay 0.95 (main_nerf.py:162, utils.py:1095) —
-            # disabled (exact tracking) under geometric_init like the
-            # reference.  A per-epoch EMA lags ~20 epochs and tanks early
-            # eval PSNR / best-ckpt selection (measured: 8.5 vs 24.0 dB at
-            # ep10 of the env pretrain).
+            # per-STEP EMA, decay 0.95 — an INTENTIONAL deviation: the
+            # reference updates once per epoch (utils.py:1252) with
+            # torch_ema's (1+n)/(10+n) decay ramp (ema decay 0.95,
+            # main_nerf.py:162); that per-epoch cadence lags ~20 epochs and
+            # tanks early eval PSNR / best-ckpt selection (measured: 8.5 vs
+            # 24.0 dB at ep10 of the env pretrain).  Per-step 0.95 ≈ raw
+            # params with ~20-step smoothing.  Disabled (exact tracking)
+            # under geometric_init like the reference.
             ema_d = 0.95 if not opt.geometric_init else 0.0
             new_state["ema"] = jax.tree.map(
                 lambda e, p: ema_d * e + (1.0 - ema_d) * p,
@@ -656,9 +668,13 @@ class Trainer:
             return 0
         K = self.opt.eval_samples_budget
         # the marching early-stop bounds samples/ray exactly like training —
-        # an eval K above it is pure padding
-        cap = self.opt.early_stop_steps if self.opt.early_stop_steps > 0 \
-            else min(self.opt.max_steps, 1024)
+        # an eval K above it is pure padding.  Use the RESOLVED schedule's
+        # early_stop/max_steps (early_stop_steps_sched etc.), not the raw
+        # option, so eval tracks the cap actually in effect this epoch.
+        sched = getattr(self, "_sched", None)
+        ess = sched.early_stop_steps if sched else self.opt.early_stop_steps
+        ms = sched.max_steps if sched else self.opt.max_steps
+        cap = ess if ess > 0 else min(ms, 1024)
         K = min(K, max(cap, 16))
         if self.opt.samples_budget <= 0 and self.mean_count > 0:
             est = min(int(self.mean_count * 1.5) + 8, cap)

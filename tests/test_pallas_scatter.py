@@ -50,6 +50,24 @@ def test_sorted_segment_rows_matches_xla():
     assert np.abs(np.asarray(ours)[0][empty]).max() < 1e-4
 
 
+def test_sorted_segment_rows_training_scale():
+    """Precision at training scale (B~1M rows, non-zero-mean gradients).
+
+    The naive global-cumsum difference has abs error ~eps * running prefix —
+    measured 2.2e-3 at B=2M / mean 5e-3 (≈10% of a typical segment sum).
+    The chunked compensated prefix must stay ~1e-5."""
+    from envidr_tpu.ops.hashgrid import _sorted_segment_rows
+    rng = np.random.default_rng(7)
+    B, S, W = 1 << 20, 1 << 18, 2
+    idx = rng.integers(0, S, B).astype(np.int32)
+    rows = (rng.normal(0, 1e-2, (B, W)) + 5e-3).astype(np.float32)
+    ours = np.asarray(_sorted_segment_rows(
+        jnp.asarray(idx[None]), jnp.asarray(rows[None]), S))[0]
+    ref = np.zeros((S, W), np.float64)
+    np.add.at(ref, idx, rows.astype(np.float64))
+    assert np.abs(ours - ref).max() < 2e-5
+
+
 def test_sorted_grad_matches_xla_grad():
     """End-to-end encoder gradients under scatter_impl='sorted'."""
     base = dict(num_levels=6, level_dim=2, base_resolution=4,
