@@ -72,10 +72,32 @@ def render(c2w, H, W, focal):
 # --shiny scene: a near-mirror sphere beside diffuse ones — its appearance
 # includes one-bounce INTERREFLECTIONS of the neighbors, the signal the
 # indir_ref render models (/root/reference/nerf/renderer.py:437-513).
-SHINY_SPHERES = [  # center, radius, albedo, mirror?
+SHINY_SPHERES = [  # center, radius, albedo (array | callable(p)), mirror?
     (np.array([0.0, 0.0, 0.0]), 0.42, np.array([0.9, 0.9, 0.92]), True),
     (np.array([0.5, 0.28, -0.1]), 0.24, np.array([0.85, 0.25, 0.2]), False),
     (np.array([-0.45, -0.3, 0.25]), 0.2, np.array([0.2, 0.55, 0.9]), False),
+]
+
+
+def _checker(p):
+    """High-frequency 3D checker albedo — parallax-dependent content that a
+    distance-independent env MLP cannot reproduce (the indirect pass can)."""
+    k = np.floor(p * 6.0).astype(int)
+    par = (k[..., 0] + k[..., 1] + k[..., 2]) % 2
+    a = np.array([0.95, 0.93, 0.85])
+    b = np.array([0.12, 0.10, 0.10])
+    return np.where(par[..., None] == 0, a, b)
+
+
+# --shiny2 scene (VERDICT r3 #3): the reflection content is DOMINATED by
+# tight nearby geometry — a checkered sphere 0.02 units under the mirror
+# fills the mirror's lower hemisphere with high-frequency parallax imagery
+# (the reference's qualitative interreflection setting, toaster-style).
+SHINY2_SPHERES = [
+    (np.array([0.0, 0.0, 0.0]), 0.38, np.array([0.9, 0.9, 0.92]), True),
+    (np.array([0.0, -0.8, 0.0]), 0.40, _checker, False),
+    (np.array([0.52, 0.3, -0.15]), 0.2, np.array([0.85, 0.22, 0.18]), False),
+    (np.array([-0.5, 0.05, 0.3]), 0.17, _checker, False),
 ]
 
 
@@ -87,7 +109,7 @@ def _env_color(dirs):
     return np.clip(sky + sun[..., None] * np.array([1.2, 1.0, 0.7]), 0, 4)
 
 
-def trace_shiny(o, dirs, depth=0):
+def trace_shiny(o, dirs, depth=0, spheres=SHINY_SPHERES):
     """One-bounce recursive tracer.  o: [..,3] or [3]; dirs [..,3].
     Returns (rgb [..,3], hit [..])."""
     shape = dirs.shape[:-1]
@@ -95,7 +117,7 @@ def trace_shiny(o, dirs, depth=0):
     rgb = np.zeros(shape + (3,))
     hit = np.zeros(shape, bool)
     o = np.broadcast_to(o, dirs.shape)
-    for center, radius, albedo, mirror in SHINY_SPHERES:
+    for center, radius, albedo, mirror in spheres:
         oc = o - center
         b = np.sum(dirs * oc, -1)
         c = np.sum(oc * oc, -1) - radius**2
@@ -106,31 +128,32 @@ def trace_shiny(o, dirs, depth=0):
         p = o + dirs * t[..., None]
         n = (p - center) / radius
         shade = 0.25 + 0.75 * np.clip(np.sum(n * LIGHT_DIR, -1), 0, 1)
+        alb = albedo(p) if callable(albedo) else np.broadcast_to(albedo, p.shape)
         if mirror and depth < 1:
             refl = dirs - 2.0 * np.sum(dirs * n, -1, keepdims=True) * n
-            bounce, bhit = trace_shiny(p + n * 1e-3, refl, depth + 1)
+            bounce, bhit = trace_shiny(p + n * 1e-3, refl, depth + 1, spheres)
             bounce = np.where(bhit[..., None], bounce, _env_color(refl))
-            col = 0.85 * bounce * albedo[None] + 0.15 * albedo * shade[..., None]
+            col = 0.85 * bounce * alb + 0.15 * alb * shade[..., None]
         else:
-            col = albedo[None] * shade[..., None]
+            col = alb * shade[..., None]
         rgb = np.where(m[..., None], col, rgb)
         best_t = np.where(m, t, best_t)
         hit |= m
     return rgb, hit
 
 
-def render_shiny(c2w, H, W, focal):
+def render_shiny(c2w, H, W, focal, spheres=SHINY_SPHERES):
     i, j = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
     dirs = np.stack([(i - W / 2) / focal, -(j - H / 2) / focal,
                      -np.ones_like(i)], -1)
     dirs = dirs @ c2w[:3, :3].T
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    rgb, hit = trace_shiny(c2w[:3, 3], dirs)
+    rgb, hit = trace_shiny(c2w[:3, 3], dirs, spheres=spheres)
     img = np.concatenate([rgb, hit[..., None].astype(float)], -1)
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 
-def write_split(out, split, n, size, focal, seed, shiny=False):
+def write_split(out, split, n, size, focal, seed, shiny=False, shiny2=False):
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(out, split), exist_ok=True)
     frames = []
@@ -144,7 +167,12 @@ def write_split(out, split, n, size, focal, seed, shiny=False):
         theta = rng.uniform(0, 2 * np.pi)
         phi = rng.uniform(-0.5 * np.pi, 0.1)
         c2w = pose_spherical(theta, phi)
-        img = (render_shiny if shiny else render)(c2w, size, size, focal)
+        if shiny2:
+            img = render_shiny(c2w, size, size, focal, spheres=SHINY2_SPHERES)
+        elif shiny:
+            img = render_shiny(c2w, size, size, focal)
+        else:
+            img = render(c2w, size, size, focal)
         fp = f"{split}/r_{k}.png"
         save(os.path.join(out, fp), img)
         frames.append({"file_path": fp, "transform_matrix": c2w.tolist()})
@@ -162,11 +190,15 @@ def main():
     p.add_argument("--n-test", type=int, default=5)
     p.add_argument("--shiny", action="store_true",
                    help="mirror-sphere scene with one-bounce interreflections")
+    p.add_argument("--shiny2", action="store_true",
+                   help="mirror over a tight checkered neighbor (reflection "
+                        "dominated by nearby high-frequency geometry)")
     args = p.parse_args()
     focal = args.size * 1.25
-    write_split(args.out, "train", args.n_train, args.size, focal, 0, args.shiny)
-    write_split(args.out, "val", args.n_val, args.size, focal, 1, args.shiny)
-    write_split(args.out, "test", args.n_test, args.size, focal, 2, args.shiny)
+    for split, n, seed in (("train", args.n_train, 0), ("val", args.n_val, 1),
+                           ("test", args.n_test, 2)):
+        write_split(args.out, split, n, args.size, focal, seed,
+                    args.shiny, args.shiny2)
     print(f"wrote {args.out}: {args.n_train}/{args.n_val}/{args.n_test} frames "
           f"@{args.size}px")
 
