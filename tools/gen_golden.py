@@ -442,9 +442,252 @@ def gen_unwrap_fixture():
     print("wrote unwrap_env.npz")
 
 
+def gen_sphere_grad_fixture():
+    """Gradient golden of the sphere shade path (VERDICT r3 missing #1a).
+
+    Same composition as :func:`gen_sphere_fixture` but fully differentiable:
+    normals come from ``create_graph=True`` autograd (renderer.py:182-198
+    semantics), so d(loss)/d(sdf_net params) flows THROUGH the normal
+    computation — torch double backward vs our jax.grad.
+    Loss = <image, Wfix> + 0.05 * mean((|raw_grad| - 1)^2)  (eikonal-style).
+    """
+    from ide_encoder import IntegratedDirEncoder
+
+    sdf_net = _synth_geometry_net()
+    # Condition the sdf output channel: with raw seeded weights the sdf takes
+    # O(1) values across the thin shell, the Laplace density saturates, and
+    # the fp32 gradient problem becomes ~100% noise (measured: torch f32 vs
+    # f64 grads differ by the gradients' own magnitude).  Scaling the output
+    # row keeps |sdf| ~ 0.05 — smooth densities, well-conditioned grads.
+    with torch.no_grad():
+        out_lin = [mm for mm in sdf_net if isinstance(mm, nn.Linear)][-1]
+        out_lin.weight[0] *= 0.05
+        out_lin.bias[0] = 0.0
+    nets = {
+        "diffuse": _load_linears(f"{REF}/ckpts/rendering_mlps.pth", "diffuse_net"),
+        "color": _load_linears(f"{REF}/ckpts/rendering_mlps.pth", "color_net"),
+    }
+    env2 = _load_linears(f"{REF}/ckpts/env_ckpts/env_net_2.pth", "env_net")
+    enc = IntegratedDirEncoder(deg_view=SPH["deg_view"])
+
+    H = W = 12
+    fov = 0.8
+    focal = W / (2 * np.tan(fov / 2))
+    torch.manual_seed(11)
+    cam = torch.tensor([2.2, 2.0, 2.4])
+    fwd = F.normalize(-cam, dim=0)
+    up0 = torch.tensor([0.0, -1.0, 0.0])
+    right = F.normalize(torch.cross(fwd, up0, dim=0), dim=0)
+    up = F.normalize(torch.cross(right, fwd, dim=0), dim=0)
+    i, j = torch.meshgrid(torch.arange(W), torch.arange(H), indexing="xy")
+    xs = (i + 0.5 - W / 2) / focal
+    ys = (j + 0.5 - H / 2) / focal
+    dirs_cam = torch.stack([xs, ys, torch.ones_like(xs)], dim=-1).reshape(-1, 3)
+    rays_d = F.normalize(dirs_cam @ torch.stack([right, up, fwd], dim=0), dim=-1)
+    rays_o = cam[None].expand_as(rays_d).contiguous()
+
+    r = SPH["radius"]
+    ray_cam_dot = torch.bmm(rays_d.view(-1, 1, 3), rays_o.view(-1, 3, 1)).squeeze(-1)
+    nabla = ray_cam_dot ** 2 - (rays_o.norm(2, 1, keepdim=True) ** 2 - r ** 2)
+    nabla_sqrt = torch.sqrt(nabla.clamp_min(0.0))
+    nears = -ray_cam_dot - nabla_sqrt
+    fars = -ray_cam_dot + nabla_sqrt
+    mask = (nabla >= -1e-4)[..., 0]
+
+    S = SPH["num_step"]
+    z_radius = SPH["step_size"] * (S - 1) / 2
+    z_vals = torch.linspace(-z_radius, z_radius, S)[None, :] + nears
+    xyzs = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+
+    material = {"roughness": torch.tensor(0.1), "metallic": torch.tensor(0.9),
+                "color": [0.8, 0.75, 0.7]}
+
+    xyzs_g = xyzs.clone().requires_grad_(True)
+    sdf, geo_feat, roughness = _forward_geometry_t(sdf_net, xyzs_g, material)
+    raw_grad = torch.autograd.grad(sdf.sum(), xyzs_g, create_graph=True)[0]
+    normals = F.normalize(raw_grad, dim=-1, eps=1e-10)
+    sigmas = _laplace_sigma(sdf, SPH["beta"])
+
+    d_b = rays_d[:, None, :].expand(-1, S, -1)
+    w_o = -d_b
+    normals_enc = normals
+    w_r = 2 * torch.sum(w_o * normals, dim=-1, keepdim=True) * normals - w_o
+    w_r_enc = enc(w_r, roughness) * SPH["light_intensity_scale"]
+    n_dot_w_o = torch.sum(normals * w_o, dim=-1, keepdim=True)
+    n_env_enc = enc(normals, SPH["diffuse_kappa_inv"]) \
+        * SPH["light_intensity_scale"]
+    rgbs, _, _ = _forward_color_t(
+        nets, enc, geo_feat, normals_enc, w_r_enc, n_dot_w_o, n_env_enc, env2)
+
+    deltas = z_vals[..., 1:] - z_vals[..., :-1]
+    deltas = torch.cat(
+        [deltas, SPH["step_size"] * torch.ones_like(deltas[..., :1])], -1)
+    alphas = 1 - torch.exp(-deltas * sigmas)
+    alphas_shifted = torch.cat(
+        [torch.ones_like(alphas[..., :1]), 1 - alphas + 1e-15], -1)
+    weights = alphas * torch.cumprod(alphas_shifted, -1)[..., :-1]
+    weights = weights * mask[:, None]
+    weights_sum = weights.sum(-1, keepdim=True)
+    bg = torch.ones(rays_o.shape[0], 3)
+    image = (weights[..., None] * rgbs).sum(-2) + (1 - weights_sum) * bg
+    image = torch.where(mask[:, None], image, bg)
+
+    g = torch.Generator().manual_seed(42)
+    w_fix = torch.rand(image.shape, generator=g)
+    loss = (image * w_fix).sum() \
+        + 0.05 * ((raw_grad.norm(dim=-1) - 1.0) ** 2).mean()
+    loss.backward()
+
+    fix = dict(rays_o=rays_o.numpy(), rays_d=rays_d.detach().numpy(),
+               w_fix=w_fix.numpy(), loss=loss.detach().numpy(),
+               material=np.array([0.1, 0.9, 0.8, 0.75, 0.7], np.float32))
+    for i_l, lin in enumerate(m for m in sdf_net if isinstance(m, nn.Linear)):
+        fix[f"sdf_net.{i_l}.w"] = lin.weight.detach().numpy()
+        fix[f"sdf_net.{i_l}.b"] = lin.bias.detach().numpy()
+        fix[f"grad.sdf_net.{i_l}.w"] = lin.weight.grad.numpy()
+        fix[f"grad.sdf_net.{i_l}.b"] = lin.bias.grad.numpy()
+    for name, layers in (("diffuse_net", nets["diffuse"]),
+                         ("color_net", nets["color"]), ("env_net", env2)):
+        for i_l, lin in enumerate(layers):
+            fix[f"grad.{name}.{i_l}.w"] = lin.weight.grad.numpy()
+            fix[f"grad.{name}.{i_l}.b"] = lin.bias.grad.numpy()
+    np.savez(os.path.join(OUT, "sphere_grads.npz"), **fix)
+    print("wrote sphere_grads.npz  loss=%.6f" % float(loss))
+
+
+def _hash_encode_t(x01, embeddings, levels):
+    """Pure-torch replica of the reference hash encoder forward
+    (hashencoder.cu:140-205: pos = x*scale, floor, smoothstep weights,
+    dense row-major index mod hashmap_size).  ``levels`` is a list of
+    (offset, size, scale, resolution); all levels here are DENSE so the
+    prime-XOR branch (cu:55-72) never triggers and torch long indexing is
+    exact.  Differentiable to any order via autograd."""
+    outs = []
+    for (off, size, scale, res) in levels:
+        table = embeddings[off:off + size]
+        pos = x01 * scale
+        pg = torch.floor(pos)
+        frac = pos - pg
+        w = frac * frac * (3.0 - 2.0 * frac)          # smoothstep
+        pg = pg.long()
+        acc = 0.0
+        for corner in range(8):
+            offs = [(corner >> d) & 1 for d in range(3)]
+            wsel = 1.0
+            for d in range(3):
+                wsel = wsel * (w[..., d] if offs[d] else 1.0 - w[..., d])
+            cpos = pg + torch.tensor(offs, dtype=torch.long)
+            idx = (cpos[..., 0] + cpos[..., 1] * res
+                   + cpos[..., 2] * res * res) % size
+            acc = acc + wsel[..., None] * table[idx]
+        outs.append(acc)
+    return torch.cat(outs, dim=-1)
+
+
+def gen_volume_grad_fixture():
+    """Gradient golden of a full volume-render step (VERDICT r3 missing #1b).
+
+    non_cuda_ray.py:13-182 semantics on CPU torch: hash encoding (smoothstep)
+    -> SDF MLP -> normals via ``create_graph=True`` double backward
+    (renderer.py:182-198) -> Laplace density (straight-through beta clamp,
+    network.py:39-44) -> color MLP -> alpha compositing -> mse + eikonal
+    loss.  Freezes d(loss)/d(embeddings, MLP params, beta) — the exact
+    gradients our hand-written hashgrid custom_vjp must reproduce.
+    """
+    torch.manual_seed(23)
+    L, C, base, desired, log2_hm = 4, 2, 4, 32, 16
+    log2s = np.log2(desired / base) / (L - 1)
+    levels, off = [], 0
+    for lvl in range(L):
+        scale = float(np.exp2(lvl * log2s) * base - 1.0)   # cu:151
+        res = int(np.ceil(scale)) + 1                      # cu:152
+        size = min(2 ** log2_hm, res ** 3)                 # hashgrid.py:133
+        assert res ** 3 <= size, "fixture levels must be dense"
+        levels.append((off, size, scale, res))
+        off += size
+    emb = (torch.rand(off, C) * 2e-1 - 1e-1).requires_grad_(True)
+
+    # geometry + color MLPs (plain Linear stacks; weights frozen to the npz)
+    mlp1 = _seq(L * C + 3, 1 + 8, 64, 2)
+    mlp2 = _seq(8 + 3 + 3, 3, 64, 2)
+    beta = torch.tensor(0.08, requires_grad=True)
+
+    # rays through the [-0.8, 0.8] cube interior
+    g = torch.Generator().manual_seed(5)
+    N, K = 24, 12
+    center = torch.rand((N, 3), generator=g) * 0.6 - 0.3
+    rays_o = F.normalize(torch.randn((N, 3), generator=g), dim=-1) * 1.5
+    rays_d = F.normalize(center - rays_o, dim=-1)
+    t_mid = (center - rays_o).norm(dim=-1, keepdim=True)
+    z_vals = t_mid + torch.linspace(-0.35, 0.35, K)[None, :]
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    xyz = xyz.clamp(-0.8, 0.8)
+    target = torch.rand((N, 3), generator=g)
+
+    xyz_g = xyz.clone().requires_grad_(True)
+    x01 = (xyz_g + 1.0) / 2.0
+    feats = _hash_encode_t(x01, emb, levels)
+    h = torch.cat([feats, xyz_g], dim=-1)
+    for l, lin in enumerate(m for m in mlp1 if isinstance(m, nn.Linear)):
+        h = lin(h)
+        if l != 1:
+            h = F.relu(h)
+    sdf = h[..., 0]
+    geo_feat = h[..., 1:9]
+    raw_grad = torch.autograd.grad(sdf.sum(), xyz_g, create_graph=True)[0]
+    normals = F.normalize(raw_grad, dim=-1, eps=1e-10)
+
+    # straight-through beta clamp (network.py:39-44) + Laplace density
+    beta_clamp = beta.detach().clamp(1e-4, 1.0)
+    beta_eff = beta + (beta_clamp - beta.detach())
+    sigmas = _laplace_sigma(sdf, beta_eff)
+
+    dirs = rays_d[:, None, :].expand(-1, K, -1)
+    hc = torch.cat([geo_feat, normals, dirs], dim=-1)
+    for l, lin in enumerate(m for m in mlp2 if isinstance(m, nn.Linear)):
+        hc = lin(hc)
+        if l != 1:
+            hc = F.relu(hc)
+    rgbs = torch.sigmoid(hc)
+
+    deltas = z_vals[..., 1:] - z_vals[..., :-1]
+    deltas = torch.cat([deltas, torch.full_like(deltas[..., :1], 0.07)], -1)
+    alphas = 1 - torch.exp(-deltas * sigmas)
+    alphas_shifted = torch.cat(
+        [torch.ones_like(alphas[..., :1]), 1 - alphas + 1e-15], -1)
+    weights = alphas * torch.cumprod(alphas_shifted, -1)[..., :-1]
+    weights_sum = weights.sum(-1, keepdim=True)
+    image = (weights[..., None] * rgbs).sum(-2) + (1 - weights_sum) * 1.0
+
+    loss = F.mse_loss(image, target) \
+        + 0.01 * ((raw_grad.norm(dim=-1) - 1.0) ** 2).mean()
+    loss.backward()
+
+    fix = dict(
+        rays_o=rays_o.numpy(), rays_d=rays_d.numpy(), z_vals=z_vals.numpy(),
+        target=target.numpy(), loss=loss.detach().numpy(),
+        embeddings=emb.detach().numpy(),
+        beta=beta.detach().numpy(),
+        spec=np.array([L, C, base, desired, log2_hm], np.int64),
+        image=image.detach().numpy(),
+        grad_embeddings=emb.grad.numpy(),
+        grad_beta=beta.grad.numpy(),
+    )
+    for name, net in (("mlp1", mlp1), ("mlp2", mlp2)):
+        for i_l, lin in enumerate(m for m in net if isinstance(m, nn.Linear)):
+            fix[f"{name}.{i_l}.w"] = lin.weight.detach().numpy()
+            fix[f"{name}.{i_l}.b"] = lin.bias.detach().numpy()
+            fix[f"grad.{name}.{i_l}.w"] = lin.weight.grad.numpy()
+            fix[f"grad.{name}.{i_l}.b"] = lin.bias.grad.numpy()
+    np.savez(os.path.join(OUT, "volume_grads.npz"), **fix)
+    print("wrote volume_grads.npz  loss=%.6f" % float(loss))
+
+
 if __name__ == "__main__":
     torch.manual_seed(0)
     gen_ide_fixture()
     gen_demo_fixture()
     gen_sphere_fixture()
     gen_unwrap_fixture()
+    gen_sphere_grad_fixture()
+    gen_volume_grad_fixture()
