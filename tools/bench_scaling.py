@@ -85,10 +85,22 @@ def time_steps(mesh):
     return reps
 
 
-r1 = time_steps(None)
-r8 = time_steps(make_mesh(8))
-t1, t8 = float(np.median(r1)), float(np.median(r8))
-spread = (max(r8) - min(r8)) / t8
-print(json.dumps({"ratio": round(t8 / t1, 3), "t1_ms": round(t1 * 1e3, 1),
-                  "t8_ms": round(t8 * 1e3, 1),
-                  "rel_spread_8dev": round(spread, 3), "reps": 5}))
+NUM_RAYS = 1024
+table = {}
+reps_by_n = {}
+for n in (1, 2, 4, 8):
+    reps = time_steps(make_mesh(n) if n > 1 else None)
+    t = float(np.median(reps))
+    reps_by_n[n] = reps
+    table[str(n)] = round(NUM_RAYS / t, 1)
+t1 = float(np.median(reps_by_n[1]))
+t8 = float(np.median(reps_by_n[8]))
+spread = (max(reps_by_n[8]) - min(reps_by_n[8])) / t8
+print(json.dumps({
+    # rays/s of the SAME 1024-ray step on an n-vdev CPU mesh.  Virtual
+    # devices share the host cores, so flat numbers mean "GSPMD sharding
+    # adds no overhead" — not real speedup (that needs a pod slice).
+    "vdev_rays_per_sec": table,
+    "ratio": round(t8 / t1, 3), "t1_ms": round(t1 * 1e3, 1),
+    "t8_ms": round(t8 * 1e3, 1),
+    "rel_spread_8dev": round(spread, 3), "reps": 5}))
