@@ -156,7 +156,13 @@ def main(argv=None):
         if (ep + 1) % eval_int == 0 or ep == max_epochs - 1:
             trainer.save_checkpoint()  # before eval: an eval OOM must not lose work
             psnr = trainer.evaluate(val_set, mode=mode)
-            log(f"[eval ep {trainer.epoch}] PSNR = {psnr:.3f}")
+            r = (trainer.stats.get("results") or [{}])[-1]
+            extra = ""
+            if r.get("ssim") is not None:
+                extra = f" ssim={r['ssim']:.4f}"
+            if r.get("lpips") is not None:
+                extra += f" lpips[{r.get('lpips_kind')}]={r['lpips']:.4f}"
+            log(f"[eval ep {trainer.epoch}] PSNR = {psnr:.3f}{extra}")
             if psnr > best:
                 best = psnr
 

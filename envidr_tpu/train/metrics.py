@@ -73,29 +73,52 @@ class SSIMMeter:
 
 
 class LPIPSMeter:
-    """AlexNet LPIPS on host torch; inert if the lpips package is absent."""
+    """AlexNet LPIPS (utils.py:314-348).
+
+    Weight resolution order: (1) the ``lpips`` torch package if installed
+    (exact reference parity); (2) our native JAX pipeline
+    (``envidr_tpu.train.lpips``) with torch-imported AlexNet+lin weights
+    from ``$ENVIDR_LPIPS_WEIGHTS`` (or ``assets/lpips_alex.pth``) when the
+    user supplies them; (3) the same JAX pipeline with a DETERMINISTIC
+    untrained trunk — kind ``alex_untrained`` — so eval always produces a
+    perceptual number, clearly labeled when it is not true LPIPS."""
 
     def __init__(self, net: str = "alex"):
+        import os
+
         self.V, self.N = 0.0, 0
+        self.fn = None
+        self.kind = None
         try:
             import lpips
             import torch  # noqa: F401
             self.fn = lpips.LPIPS(net=net)
+            self.kind = net
         except Exception:
-            self.fn = None
+            from envidr_tpu.train.lpips import LPIPSJax
+            wpath = os.environ.get("ENVIDR_LPIPS_WEIGHTS", "")
+            if not wpath:
+                cand = os.path.join(os.path.dirname(__file__), "..", "..",
+                                    "assets", "lpips_alex.pth")
+                wpath = cand if os.path.exists(cand) else ""
+            self._jax = LPIPSJax(weights_path=wpath or None)
+            self.kind = self._jax.kind
 
     @property
     def available(self):
-        return self.fn is not None
+        return True
 
     def update(self, preds, truths):
-        if self.fn is None:
-            return None
-        import torch
-        p = torch.from_numpy(np.asarray(preds, np.float32)).permute(2, 0, 1)[None]
-        t = torch.from_numpy(np.asarray(truths, np.float32)).permute(2, 0, 1)[None]
-        with torch.no_grad():
-            v = float(self.fn(p * 2 - 1, t * 2 - 1))
+        if self.fn is not None:
+            import torch
+            p = torch.from_numpy(
+                np.asarray(preds, np.float32)).permute(2, 0, 1)[None]
+            t = torch.from_numpy(
+                np.asarray(truths, np.float32)).permute(2, 0, 1)[None]
+            with torch.no_grad():
+                v = float(self.fn(p * 2 - 1, t * 2 - 1))
+        else:
+            v = self._jax(preds, truths)
         self.V += v
         self.N += 1
         return v

@@ -804,11 +804,17 @@ class Trainer:
         psnr = meter.measure()
         self.stats.setdefault("results", []).append(
             {"psnr": psnr, "ssim": ssim_meter.measure(),
-             "lpips": lpips_meter.measure() if lpips_meter.available else None,
+             "lpips": lpips_meter.measure() if lpips_meter.N else None,
+             # 'alex' = true LPIPS weights; 'alex_untrained' = deterministic
+             # random trunk fallback (no pretrained weights in this image)
+             "lpips_kind": lpips_meter.kind,
              "epoch": self.epoch})
         if self.tb is not None:
             self.tb.add_scalar("eval/psnr", psnr, self.global_step)
             self.tb.add_scalar("eval/ssim", ssim_meter.measure(), self.global_step)
+            if lpips_meter.N:
+                self.tb.add_scalar(f"eval/lpips_{lpips_meter.kind}",
+                                   lpips_meter.measure(), self.global_step)
         best = self.stats.get("best_result")
         if track_best and (best is None or psnr > best):
             self.stats["best_result"] = psnr

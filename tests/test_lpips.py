@@ -1,0 +1,66 @@
+"""Native JAX LPIPS: structural + perceptual-ordering sanity.
+
+True-weight parity vs the lpips package is unverifiable in this image (no
+pretrained weights, zero egress); these tests pin the pipeline structure
+(utils.py:314-348's metric surface) and the fallback's basic perceptual
+behavior instead.
+"""
+
+import numpy as np
+
+from envidr_tpu.train.lpips import LPIPSJax, init_random_weights
+from envidr_tpu.train.metrics import LPIPSMeter
+
+
+def _img(seed, H=64):
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 1, H)
+    base = np.stack(np.meshgrid(x, x), -1).sum(-1)[..., None] / 2.0
+    return np.clip(base + 0.1 * rng.normal(size=(H, H, 3)), 0, 1).astype(
+        np.float32)
+
+
+def test_identical_images_zero():
+    fn = LPIPSJax()
+    a = _img(0)
+    assert fn(a, a) == 0.0
+
+
+def test_perceptual_ordering():
+    """A small global brightness shift must read as closer than shuffling
+    the same pixels (pixel-metrics can't tell these apart by design)."""
+    fn = LPIPSJax()
+    a = _img(1)
+    bright = np.clip(a + 0.05, 0, 1)
+    rng = np.random.default_rng(2)
+    flat = a.reshape(-1, 3).copy()
+    rng.shuffle(flat, axis=0)
+    shuffled = flat.reshape(a.shape)
+    # same pixel histogram, destroyed structure
+    d_bright = fn(a, bright)
+    d_shuf = fn(a, shuffled)
+    assert 0 < d_bright < d_shuf
+
+
+def test_symmetry_and_determinism():
+    fn = LPIPSJax()
+    a, b = _img(3), _img(4)
+    assert abs(fn(a, b) - fn(b, a)) < 1e-6
+    fn2 = LPIPSJax()          # same seed -> same untrained trunk
+    assert abs(fn(a, b) - fn2(a, b)) < 1e-6
+
+
+def test_meter_always_available_and_labeled():
+    m = LPIPSMeter()
+    assert m.available
+    assert m.kind in ("alex", "alex_untrained")
+    v = m.update(_img(5), _img(6))
+    assert v is not None and np.isfinite(v)
+    assert m.measure() == v
+
+
+def test_random_weights_shapes():
+    p = init_random_weights()
+    assert p["conv0"]["w"].shape == (64, 3, 11, 11)
+    assert p["conv4"]["w"].shape == (256, 256, 3, 3)
+    assert p["lin2"]["w"].shape == (384,)
