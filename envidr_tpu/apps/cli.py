@@ -102,9 +102,13 @@ def main(argv=None):
         if not args.swap_env:
             trainer.load_checkpoint(args.ckpt)
         test_set = make_dataset(opt.test_split, opt.test_skip)
-        trainer.update_extra_state()
-        psnr = trainer.evaluate(test_set, mode=mode, max_images=len(test_set),
-                                track_best=False)
+        trainer.update_extra_state(full=opt.extra_state_full_update)
+        # opt.test_ids selects specific frames (main_nerf.py:129-134)
+        ids = [i for i in opt.test_ids if i < len(test_set)] or None
+        psnr = trainer.evaluate(
+            test_set, mode=mode, max_images=len(test_set), track_best=False,
+            indices=ids,
+            dump_dir=os.path.join(opt.workspace, opt.val_folder_name, "test"))
         log(f"[test] PSNR = {psnr:.3f}")
         outdir = os.path.join(opt.workspace, "results")
         os.makedirs(outdir, exist_ok=True)
@@ -128,6 +132,10 @@ def main(argv=None):
     resumed = False
     if args.resume:
         resumed = trainer.load_checkpoint(args.ckpt)
+        if resumed and opt.extra_state_full_update:
+            # one full-grid sweep right after resume (main_nerf.py:113,
+            # utils.py:1208-1212 one-shot semantics)
+            trainer.update_extra_state(full=True)
     if opt.geometric_cue and not resumed:
         trainer.train_geometric_cue()
     max_epochs = args.max_epochs

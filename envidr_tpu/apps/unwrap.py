@@ -114,8 +114,9 @@ def main(argv=None):
     p.add_argument("--color", type=float, nargs=3, default=[0.7, 0.7, 0.7])
     p.add_argument("--size", type=int, nargs=2, default=[256, 512])
     p.add_argument("--out", default="unwrap.png")
-    p.add_argument("--env-index", type=int, default=0,
-                   help="which stacked env net to unwrap (ckpt mode)")
+    p.add_argument("--env-index", type=int, default=None,
+                   help="which stacked env net to unwrap (ckpt mode); "
+                        "defaults to opt.unwrap_env_id (main_nerf.py:101-102)")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="override Options fields (same dialect as the CLI)")
     args = p.parse_args(argv)
@@ -128,6 +129,8 @@ def main(argv=None):
             k, v = kv.split("=", 1)
             overrides[k.strip()] = _parse_value(v)
         opt = load_options(args.config, **overrides)
+        if args.env_index is None:
+            args.env_index = opt.unwrap_env_id if opt.unwrap_env_id >= 0 else 0
         cfg = network_config(opt)
         from envidr_tpu.train.trainer import Trainer
         tr = Trainer(opt, cfg)
@@ -161,6 +164,8 @@ def main(argv=None):
         material = {"roughness": args.roughness, "metallic": args.metallic,
                     "color": jnp.asarray([*args.color, 1.0])}
         radius = 0.95
+        if args.env_index is None:
+            args.env_index = 0
 
     img = unwrap_env(params, cfg, env_h=args.size[0], env_w=args.size[1],
                      material=material, unwrap_roughness=args.roughness,

@@ -47,6 +47,9 @@ class SceneRenderOptions:
     grad_rays_scale: float = 0.01
     cos_anneal_ratio: float = 1.0
     use_bg_net: bool = False        # bg_radius > 0 and bg model present
+    # per-sample stratified jitter AFTER the march instead of perturbing the
+    # march itself (cuda_ray.py:78-88)
+    stratified_sampling: bool = False
 
 
 def render_scene(
@@ -88,9 +91,21 @@ def render_scene(
         bound=cfg.bound, grid_size=opts.grid_size, dt_gamma=opts.dt_gamma,
         max_steps=opts.max_steps, num_samples=K,
         early_stop_steps=opts.early_stop_steps,
-        perturb_key=key if opts.perturb else None)
+        perturb_key=(key if opts.perturb and not opts.stratified_sampling
+                     else None))
 
     xyzs = m.xyzs                                             # [N, K, 3]
+    dts = m.dts
+    if opts.stratified_sampling and opts.training and key is not None:
+        # stratified jitter of the marched samples (cuda_ray.py:78-88):
+        # roll-differenced noise so consecutive segment lengths stay
+        # consistent while each sample moves within +-0.5 dt
+        dt_base = 2.0 * 1.7320508075688772 / opts.max_steps
+        noise = (jax.random.uniform(jax.random.fold_in(key, 17), dts.shape)
+                 * 2.0 - 1.0) * 0.5 * dt_base
+        strat = jnp.roll(noise, 1, axis=1) - noise
+        dts = dts + strat
+        xyzs = xyzs + strat[..., None] * rays_d[:, None, :]
     if opts.grad_ray:
         # re-attach sample positions to ray origins so image gradients flow
         # into secondary-ray origins (cuda_ray.py:100-105)
@@ -114,7 +129,7 @@ def render_scene(
 
     if cfg.use_sdf:
         sigmas = sdf_to_sigma(
-            params, cfg, geo["sdf"], dirs=dirs, dists=m.dts, normals=normals,
+            params, cfg, geo["sdf"], dirs=dirs, dists=dts, normals=normals,
             cos_anneal_ratio=(opts.cos_anneal_ratio if cos_anneal_ratio is None
                               else cos_anneal_ratio), beta_cap=beta_cap,
             beta_min=beta_min)
@@ -122,7 +137,7 @@ def render_scene(
         sigmas = geo["sigma"]
     sigmas = jnp.where(m.mask, opts.density_scale * sigmas, 0.0)
 
-    alphas = sigmas if cfg.use_neus_sdf else alphas_from_sigmas(sigmas, m.dts)
+    alphas = sigmas if cfg.use_neus_sdf else alphas_from_sigmas(sigmas, dts)
     weights = weights_from_alphas(alphas, T_thresh=opts.T_thresh)
     weights = jnp.where(m.mask, weights, 0.0)
     weights_sum = jnp.sum(weights, axis=-1)                   # [N]
@@ -186,7 +201,7 @@ def render_scene(
         gap = m.ts[..., 1:] - m.ts[..., :-1]                  # dist k -> k+1
         point_mask = m.mask[..., :-1] & m.mask[..., 1:]
         # continuity: gap < 1.2 * dt of the *next* sample (no voxel skip between)
-        point_mask = point_mask & (gap < 1.2 * m.dts[..., 1:])
+        point_mask = point_mask & (gap < 1.2 * dts[..., 1:])
         relsdf = sdfs[..., 1:] - sdfs[..., :-1]
         cos = jnp.sum(dirs * jax.lax.stop_gradient(normals), axis=-1) \
             if normals is not None else jnp.zeros_like(sdfs)

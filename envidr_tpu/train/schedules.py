@@ -33,6 +33,7 @@ class StepSchedule:
     update_extra_interval: int
     cos_anneal_ratio: float = 1.0     # dynamic (NeuS)
     use_error_map: bool = False       # static: error-map importance sampling
+    error_bound: bool = False         # static: VolSDF error-bound sampling
 
     def __post_init__(self):
         object.__setattr__(self, "weights", dict(self.weights))
@@ -41,7 +42,7 @@ class StepSchedule:
         return hash((self.flags, self.diffuse_only, self.indir_ref,
                      self.grad_rays, self.early_stop_steps, self.max_steps,
                      self.num_rays, self.update_extra_interval,
-                     self.use_error_map))
+                     self.use_error_map, self.error_bound))
 
 
 def _exp_sched(sched: Tuple[float, ...], default: float, epoch: int) -> float:
@@ -167,6 +168,12 @@ def resolve(opt: Options, epoch: int, global_step: int = 0) -> StepSchedule:
         update_extra_interval=update_interval,
         cos_anneal_ratio=cos_anneal,
         use_error_map=(opt.error_map and epoch >= opt.error_map_start_iter),
+        # error_bound_start_iter gates the VolSDF sampler per epoch
+        # (utils.py:1740-1743): before the start epoch it is forced off,
+        # after it forced on; with no start iter the static flag rules
+        error_bound=(False if opt.error_bound_start_iter > epoch else
+                     True if opt.error_bound_start_iter > 0 else
+                     opt.error_bound_sample),
     )
 
 

@@ -247,18 +247,20 @@ class Trainer:
                                fraction=fraction)
         return fn
 
-    def update_extra_state(self):
+    def update_extra_state(self, full: bool = False):
         if not self.use_grid:
             return
         self.key, sub = jax.random.split(self.key)
         lm = level_mask(self._sched.enabled_levels, self.cfg.num_levels) \
             if hasattr(self, "_sched") else None
         # first 16 updates sweep the full grid; afterwards a rotating 1/4
-        # slab per update (renderer.py:306-310's warmup-then-subsample)
+        # slab per update (renderer.py:306-310's warmup-then-subsample).
+        # full=True forces a whole-grid sweep (extra_state_full_update,
+        # main_nerf.py:113 — used once after a resume).
         it = int(self.state["grid"].iter_density)
         self.state["grid"] = self._update_grid_fn(
             self.state["params"], self.state["grid"], sub, lm,
-            fraction=1 if it < 16 else 4)
+            fraction=1 if (full or it < 16) else 4)
 
     def train_geometric_cue(self, steps: int = 500, points: int = 131072,
                             radius: Optional[float] = None):
@@ -357,6 +359,7 @@ class Trainer:
                                or sched.flags.use_entropy_loss),
                 cos_anneal_ratio=sched.cos_anneal_ratio,
                 use_bg_net=cfg.bg_radius > 0,
+                stratified_sampling=opt.stratified_sampling,
                 grid_size=grid_spec.grid_size)
         else:
             ropts = SphereRenderOptions(
@@ -390,8 +393,17 @@ class Trainer:
             beta_min_t = (weights["_beta_min"] if opt.beta_min_sched
                           and cfg.use_sdf and not cfg.use_neus_sdf else None)
 
+            image_B = (opt.image_batch
+                       if mode == "scene" and opt.image_batch > 1 else 1)
             pose = batch["pose"][None]                          # [1, 4, 4]
-            if sched.use_error_map:
+            if image_B > 1:
+                # image_batch > 1 (main_nerf.py:156 dataloader batch_size):
+                # num_rays split evenly across B poses; only the plain
+                # random sampler supports image batching
+                rays = sampled_rays(k_rays, batch["pose"],
+                                    batch["intrinsics"], H, W,
+                                    num_rays // image_B)
+            elif sched.use_error_map:
                 # importance sampling from the per-image error map EMA
                 # (utils.py:174-186); the map lives in device state
                 from envidr_tpu.geometry.rays import error_map_rays
@@ -411,9 +423,16 @@ class Trainer:
             else:
                 rays = sampled_rays(k_rays, pose, batch["intrinsics"], H, W,
                                     num_rays)
-            rays_o = rays["rays_o"][0]
-            rays_d = rays["rays_d"][0]
-            pix = jnp.take(batch["image"], rays["inds"][0], axis=0)  # [N, C] uint8
+            if image_B > 1:
+                rays_o = rays["rays_o"].reshape(-1, 3)
+                rays_d = rays["rays_d"].reshape(-1, 3)
+                pix = jnp.take_along_axis(
+                    batch["image"], rays["inds"][..., None], axis=1)
+                pix = pix.reshape(-1, pix.shape[-1])     # [B*n, C] uint8
+            else:
+                rays_o = rays["rays_o"][0]
+                rays_d = rays["rays_d"][0]
+                pix = jnp.take(batch["image"], rays["inds"][0], axis=0)  # [N, C] uint8
             # uint8 preload -> /255; fp16 preload is already normalized
             pix = (pix.astype(jnp.float32) / 255.0
                    if jnp.issubdtype(pix.dtype, jnp.integer)
@@ -465,7 +484,7 @@ class Trainer:
                         normal_anneal_ratio=normal_anneal,
                         cos_anneal_ratio=cos_anneal, beta_cap=beta_cap,
                         beta_min=beta_min_t)
-                elif mode == "scene" and opt.error_bound_sample:
+                elif mode == "scene" and sched.error_bound:
                     # VolSDF error-bound strategy (renderer.py:373-374)
                     from envidr_tpu.render.volsdf import (
                         VolSDFOptions, render_volsdf)
@@ -572,6 +591,15 @@ class Trainer:
         poses = dataset.device_poses
         intr = jnp.asarray(dataset.intrinsics, jnp.float32)
 
+        # image_batch > 1 groups B images per step (main_nerf.py:156); the
+        # step splits num_rays across them.  Scene mode + plain sampler only.
+        image_B = (opt.image_batch
+                   if mode == "scene" and opt.image_batch > 1 else 1)
+        if image_B > 1:
+            n_grp = len(order) // image_B
+            order = [np.asarray(order[g * image_B:(g + 1) * image_B])
+                     for g in range(n_grp)]
+
         losses = []
         t0 = time.time()
         for i in order:
@@ -579,8 +607,14 @@ class Trainer:
                     and self.global_step % sched.update_extra_interval == 0):
                 self.update_extra_state()
             self.key, sub = jax.random.split(self.key)
-            batch = {"pose": poses[i], "image": images[i], "intrinsics": intr,
-                     "img_idx": jnp.asarray(i, jnp.int32)}
+            if image_B > 1:
+                batch = {"pose": poses[jnp.asarray(i)],
+                         "image": images[jnp.asarray(i)], "intrinsics": intr,
+                         "img_idx": jnp.asarray(i[0], jnp.int32)}
+            else:
+                batch = {"pose": poses[i], "image": images[i],
+                         "intrinsics": intr,
+                         "img_idx": jnp.asarray(i, jnp.int32)}
             if mode == "sphere":
                 batch["env_index"] = int(np.asarray(dataset.env_indices[i])) \
                     if not hasattr(dataset, "host_env_indices") \
@@ -761,7 +795,8 @@ class Trainer:
 
     def evaluate(self, dataset, *, max_images: int = 8, mode: str = "scene",
                  use_ema: bool = True, env_rot_degree_range=None,
-                 dump_dir: Optional[str] = None, track_best: bool = True):
+                 dump_dir: Optional[str] = None, track_best: bool = True,
+                 indices=None):
         """PSNR (+SSIM, +LPIPS when the package exists) eval; optional
         env-rotation sweep (utils.py:1295-1303), visual-item image dumps
         (utils.py:1382-1442), and best-checkpoint tracking (utils.py:1537-1557)."""
@@ -770,7 +805,10 @@ class Trainer:
         meter = PSNRMeter()
         ssim_meter = SSIMMeter()
         lpips_meter = LPIPSMeter()
-        n = min(len(dataset), max_images)
+        # opt.test_ids / explicit indices select specific frames
+        # (main_nerf.py:129-134's dataloader(test_ids=...))
+        idxs = (list(indices) if indices else
+                list(range(min(len(dataset), max_images))))
         has_gt = getattr(dataset, "images", None) is not None
         if not has_gt:
             track_best = False   # render-only split (colmap slerp test path)
@@ -778,21 +816,33 @@ class Trainer:
         if env_rot_degree_range:
             d0, d1, k = env_rot_degree_range
             rots = list(np.deg2rad(np.linspace(d0, d1, int(k))))
-        for i in range(n):
+        # test-time bg is a fixed color (utils.py:844)
+        bg_val = 1.0 if self.opt.render_bg_color == "white" else 0.0
+        for i in idxs:
+            material = getattr(dataset, "materials", [None] * len(dataset))[i]
+            if self.opt.overwrite_materials and material is not None:
+                # utils.py:835-838: force the unwrap material at test time
+                material = dict(material,
+                                roughness=self.opt.unwrap_roughness,
+                                metallic=self.opt.unwrap_metallic,
+                                color=list(self.opt.unwrap_color))
+            env_index = getattr(dataset, "env_indices",
+                                np.zeros(len(dataset), np.int32))[i]
+            if self.opt.set_env_net_index > 0:   # utils.py:825-826
+                env_index = self.opt.set_env_net_index
             for ri, rot in enumerate(rots):
                 res = self.render_image(
                     dataset.poses[i], dataset.intrinsics, dataset.H, dataset.W,
                     mode=mode, use_ema=use_ema, env_rot_radian=rot,
-                    material=getattr(dataset, "materials", [None] * len(dataset))[i],
-                    env_index=getattr(dataset, "env_indices",
-                                      np.zeros(len(dataset), np.int32))[i])
+                    bg_color=bg_val, material=material, env_index=env_index)
                 pred = res["image"]
                 if self.opt.color_space == "linear":
                     pred = np.asarray(linear_to_srgb(jnp.asarray(pred)))
                 if rot is None and has_gt:
                     gt = dataset.images[i].astype(np.float32) / 255.0
                     if gt.shape[-1] == 4:
-                        gt = gt[..., :3] * gt[..., 3:] + (1.0 - gt[..., 3:])
+                        gt = gt[..., :3] * gt[..., 3:] \
+                            + bg_val * (1.0 - gt[..., 3:])
                     pred_c = np.clip(pred, 0, 1)
                     meter.update(pred_c, gt)
                     ssim_meter.update(pred_c, gt)
@@ -827,7 +877,11 @@ class Trainer:
         except ImportError:
             return
         os.makedirs(outdir, exist_ok=True)
-        imageio.imwrite(os.path.join(outdir, f"{tag}_rgb.png"),
+        # opt.img_format picks the dump extension (utils.py:1383-1384); exr
+        # has no writer in this image -> png, like the reference's nc fallback
+        ext = self.opt.img_format if self.opt.img_format in ("png", "jpg") \
+            else "png"
+        imageio.imwrite(os.path.join(outdir, f"{tag}_rgb.{ext}"),
                         (np.clip(pred_srgb, 0, 1) * 255).astype(np.uint8))
         items = set(self.opt.visual_items)
         if "normal_image" in res:

@@ -318,3 +318,57 @@ def test_resume_mlps_all_loads_full_state(tmp_path):
             assert all(jnp.allclose(x, y) for x, y in zip(a, b)), k
     # ...and the fresh renv_net exists and differs from any donor net
     assert "renv_net" in tr2.state["params"]
+
+
+def test_image_batch_trains(ds):
+    """image_batch=3 batches all 3 tiny images into one step
+    (main_nerf.py:156 dataloader batch_size semantics)."""
+    opt = tiny_opt(image_batch=3, num_rays=66)
+    trainer = Trainer(opt, network_config(opt))
+    before = jax.tree.map(jnp.copy, trainer.state["params"])
+    stats = trainer.train_one_epoch(ds)
+    assert np.isfinite(stats["loss"])
+    assert _leaf_delta(before, trainer.state["params"]) > 0
+
+
+def test_stratified_sampling_trains(ds):
+    """stratified_sampling replaces march perturb with post-march jitter
+    (cuda_ray.py:78-88)."""
+    opt = tiny_opt(stratified_sampling=True)
+    trainer = Trainer(opt, network_config(opt))
+    stats = trainer.train_one_epoch(ds)
+    assert np.isfinite(stats["loss"])
+
+
+def test_eval_flags_render_bg_and_indices(ds, tmp_path):
+    """render_bg_color=black changes the composited gt + render bg;
+    indices (test_ids) restricts eval to chosen frames."""
+    opt = tiny_opt(render_bg_color="black",
+                   workspace=str(tmp_path / "ws"))
+    trainer = Trainer(opt, network_config(opt))
+    trainer._sched = __import__(
+        "envidr_tpu.train.schedules", fromlist=["resolve"]).resolve(opt, 1, 0)
+    trainer.update_extra_state()
+    psnr = trainer.evaluate(ds, max_images=3, indices=[2], track_best=False)
+    assert np.isfinite(psnr)
+    results = trainer.stats["results"][-1]
+    assert results["lpips"] is not None  # triplet always reported now
+
+
+def test_error_bound_start_iter_gates_sampler():
+    """utils.py:1740-1743: before the start epoch the VolSDF error-bound
+    sampler is off; at/after it, on."""
+    from envidr_tpu.train.schedules import resolve
+    opt = tiny_opt(error_bound_sample=False, error_bound_start_iter=5)
+    assert not resolve(opt, 4, 0).error_bound
+    assert resolve(opt, 5, 0).error_bound
+    opt2 = tiny_opt(error_bound_sample=True, error_bound_start_iter=0)
+    assert resolve(opt2, 1, 0).error_bound
+
+
+def test_unimplemented_flag_warns():
+    import warnings
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        tiny_opt(warmup_steps=100)
+        assert any("unimplemented" in str(x.message) for x in w)
