@@ -314,6 +314,9 @@ class Options:
     cp_rank: int = 32                    # CP (MXU) encoder rank
     eval_samples_budget: int = 256
     eval_ray_chunk: int = 4096
+    # two-level occupancy march (coarse maxpool probe + fine refine) — cuts
+    # the march's gather-row wall ~2.7x; exact up to the M-segment budget
+    coarse_march: bool = False
     mesh_shape: Tuple[int, ...] = ()     # data-parallel device mesh (empty: all devices)
 
 

@@ -56,7 +56,15 @@ def march_rays(
     early_stop_steps: int = -1,
     perturb_key: Optional[jax.Array] = None,
     t_start: Optional[jnp.ndarray] = None,  # resume t (inference continuation)
+    coarse_march: bool = False,   # two-level occupancy probe (see below)
 ) -> MarchResult:
+    if (coarse_march and dt_gamma == 0.0 and bitfield.shape[0] == 1
+            and t_start is None and grid_size % 4 == 0):
+        return _march_rays_coarse(
+            rays_o, rays_d, nears, fars, bitfield, bound=bound,
+            grid_size=grid_size, max_steps=max_steps,
+            num_samples=num_samples, early_stop_steps=early_stop_steps,
+            perturb_key=perturb_key)
     N = rays_o.shape[0]
     T = max_steps
     K = num_samples
@@ -131,5 +139,125 @@ def march_rays(
     # to (t_k + dt_k - near) at sample k (raymarching.cu:455-462)
     z_vals = jnp.where(mask_c, ts_c + dts_c - nears[:, None], 0.0)
 
+    return MarchResult(xyzs=xyz_c, dirs=d, dts=dts_c, z_vals=z_vals,
+                       ts=ts_c, mask=mask_c, counts=counts)
+
+
+def _march_rays_coarse(
+    rays_o, rays_d, nears, fars, bitfield, *, bound, grid_size,
+    max_steps, num_samples, early_stop_steps, perturb_key,
+) -> MarchResult:
+    """Two-level occupancy march — ~2.7x fewer gather rows.
+
+    The dense march's wall is the [N, T] occupancy gather (row-LATENCY-bound
+    at ~25 ns/row: 4096 rays x 512 candidates = 53 ms of the 99 ms CP step,
+    tools/profile_cp.py).  This variant probes a 4x-maxpooled, 1-dilated
+    coarse grid at a stride of S=8 candidates and fine-probes ONLY the
+    candidates inside positive segments:
+
+      coarse rows  T/S      (e.g. 64)
+      fine rows    M*S      (M = first-positive-segments budget, e.g. 128)
+
+    Exactness: the coarse grid is the Chebyshev-1 DILATION of the maxpool,
+    and S*dt_min < one coarse cell, so every fine candidate lies within one
+    coarse cell of its segment's probe point — an occupied fine cell can
+    never hide from the probe (no false negatives; false positives only
+    cost a fine probe).  The single approximation is the static M cap on
+    positive segments per ray — the same budget-cap class as K/early_stop
+    (a ray keeps its FIRST M positive segments, in march order).
+
+    Restrictions (caller falls back to the dense march otherwise):
+    dt_gamma == 0, single cascade, no t_start resume.
+    """
+    N = rays_o.shape[0]
+    T = max_steps
+    K = num_samples
+    H = grid_size
+    Hc = H // 4
+    S = 8
+    # S fine steps must stay inside one coarse cell for the dilation proof
+    dt_min = 2.0 * SQRT3 / max_steps
+    assert S * dt_min < 2.0 * bound / Hc, (S, dt_min, bound, Hc)
+    Tc = -(-T // S)
+    k_eff = K if early_stop_steps <= 0 else min(K, early_stop_steps)
+    # M*S must cover the K output slots, with 2x headroom over k_eff for
+    # coarse false positives
+    M = min(Tc, max(16, -(-2 * k_eff // S), -(-K // S)))
+
+    nears = jax.lax.stop_gradient(nears)
+    fars = jax.lax.stop_gradient(fars)
+    o = jax.lax.stop_gradient(rays_o)
+    d = jax.lax.stop_gradient(rays_d)
+
+    t0 = nears
+    if perturb_key is not None:
+        noise = jax.random.uniform(perturb_key, (N,))
+        t0 = t0 + dt_min * noise
+
+    # ---- coarse grid: maxpool 4^3 then 3^3 Chebyshev dilation ---------
+    occ3 = bitfield[0].reshape(Hc, 4, Hc, 4, Hc, 4)
+    coarse = jnp.any(occ3, axis=(1, 3, 5)).astype(jnp.float32)  # [Hc^3]
+    coarse = jax.lax.reduce_window(
+        coarse, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
+    coarse = (coarse > 0.0).reshape(-1)                          # [Hc^3]
+
+    # ---- coarse probe at segment starts -------------------------------
+    jc = jnp.arange(Tc, dtype=jnp.float32)
+    ts_seg = t0[:, None] + jc[None, :] * (S * dt_min)            # [N, Tc]
+    xyz_p = jnp.clip(o[:, None, :] + ts_seg[..., None] * d[:, None, :],
+                     -bound, bound)
+    cell_p = jnp.clip((0.5 * (xyz_p / bound + 1.0) * Hc).astype(jnp.int32),
+                      0, Hc - 1)
+    flat_p = cell_index(cell_p, Hc)
+    occ_seg = coarse.at[flat_p].get(mode="promise_in_bounds")    # [N, Tc]
+    occ_seg = occ_seg & (ts_seg < fars[:, None])
+
+    # ---- first M positive segments, in march order --------------------
+    order_c = jnp.cumsum(occ_seg.astype(jnp.int32), axis=-1) - 1
+    sel_c = occ_seg & (order_c < M)
+    jci = jnp.arange(Tc, dtype=jnp.int32)[None, :]
+    keys_c = jnp.where(sel_c, Tc - jci, 0)
+    top_c, seg_idx = jax.lax.top_k(keys_c, M)                    # [N, M]
+    seg_ok = top_c > 0
+
+    # ---- fine candidates of the kept segments: [N, M*S] ----------------
+    ts = (t0[:, None, None]
+          + (seg_idx.astype(jnp.float32) * S)[..., None] * dt_min
+          + jnp.arange(S, dtype=jnp.float32)[None, None, :] * dt_min)
+    ts = ts.reshape(N, M * S)
+    valid = (seg_ok[..., None]
+             & (ts.reshape(N, M, S) < fars[:, None, None])).reshape(N, M * S)
+    # ladder indices beyond T are padding of the last (partial) segment
+    lad = (seg_idx[..., None] * S
+           + jnp.arange(S, dtype=jnp.int32)[None, None, :]).reshape(N, M * S)
+    valid = valid & (lad < T)
+    dts = jnp.full((N, M * S), dt_min, jnp.float32)
+
+    xyz = jnp.clip(o[:, None, :] + ts[..., None] * d[:, None, :],
+                   -bound, bound)
+    cell = jnp.clip((0.5 * (xyz / bound + 1.0) * H).astype(jnp.int32),
+                    0, H - 1)
+    flat = cell_index(cell, H)
+    occ = bitfield[0].at[flat].get(mode="promise_in_bounds")     # [N, M*S]
+
+    sel = occ & valid
+    order = jnp.cumsum(sel.astype(jnp.int32), axis=-1) - 1
+    sel = sel & (order < k_eff)
+    counts = jnp.sum(sel.astype(jnp.int32), axis=-1)
+
+    # ---- compact [N, M*S] -> [N, K] (same top_k trick as the dense path)
+    MS = M * S
+    jf = jnp.arange(MS, dtype=jnp.int32)[None, :]
+    keys = jnp.where(sel, MS - jf, 0)
+    top_keys, top_idx = jax.lax.top_k(keys, K)
+    mask_c = top_keys > 0
+
+    def compact(src):
+        return jnp.where(mask_c, jnp.take_along_axis(src, top_idx, axis=-1), 0)
+
+    ts_c = compact(ts)
+    dts_c = compact(dts)
+    xyz_c = jnp.stack([compact(xyz[..., i]) for i in range(3)], axis=-1)
+    z_vals = jnp.where(mask_c, ts_c + dts_c - nears[:, None], 0.0)
     return MarchResult(xyzs=xyz_c, dirs=d, dts=dts_c, z_vals=z_vals,
                        ts=ts_c, mask=mask_c, counts=counts)

@@ -360,6 +360,7 @@ class Trainer:
                 cos_anneal_ratio=sched.cos_anneal_ratio,
                 use_bg_net=cfg.bg_radius > 0,
                 stratified_sampling=opt.stratified_sampling,
+                coarse_march=opt.coarse_march,
                 grid_size=grid_spec.grid_size)
         else:
             ropts = SphereRenderOptions(
@@ -734,6 +735,7 @@ class Trainer:
                 early_stop_steps=opt.early_stop_steps, dt_gamma=opt.dt_gamma,
                 T_thresh=opt.T_thresh, min_near=opt.min_near,
                 use_bg_net=cfg.bg_radius > 0,
+                coarse_march=opt.coarse_march,
                 grid_size=self.grid_spec.grid_size)
 
             use_indir_eval = bool(cfg.use_renv and opt.indir_ref_start_iter > 0)

@@ -204,3 +204,56 @@ def test_morton_roundtrip_and_packbits():
     assert bits.shape == (16**3 // 8,)
     want0 = sum(int(dens[0, i] > 0.5) << i for i in range(8))
     assert int(bits[0]) == want0
+
+
+def _blob_grid(H=32, c=(0.1, -0.05, 0.2), r=0.35):
+    """Realistic post-pruning occupancy: one compact blob."""
+    ax = (np.arange(H) + 0.5) / H * 2.0 - 1.0
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    return ((X - c[0]) ** 2 + (Y - c[1]) ** 2 + (Z - c[2]) ** 2) < r ** 2
+
+
+def test_coarse_march_matches_dense():
+    """Two-level march == dense march wherever the M segment budget does not
+    bind (sparse blob occupancy — the trained-scene regime it targets)."""
+    H = 32
+    occ3d = _blob_grid(H=H)
+    # grid is indexed [x + y*H + z*H^2] = index 'ij' with x fastest: cell_index
+    # uses coords[...,0] + coords[...,1]*H + coords[...,2]*H^2
+    bitfield = jnp.asarray(occ3d.reshape(1, -1, order="F"))
+    rng = np.random.default_rng(7)
+    N = 24
+    o = np.tile([[0.0, 0.0, -3.0]], (N, 1)).astype(np.float32)
+    tgt = rng.uniform(-0.6, 0.6, (N, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    near = np.full(N, 2.0, np.float32)
+    far = np.full(N, 4.2, np.float32)
+
+    kw = dict(bound=1.0, grid_size=H, dt_gamma=0.0, max_steps=256,
+              num_samples=64)
+    dense = march_rays(jnp.asarray(o), jnp.asarray(d), jnp.asarray(near),
+                       jnp.asarray(far), bitfield, **kw)
+    two = march_rays(jnp.asarray(o), jnp.asarray(d), jnp.asarray(near),
+                     jnp.asarray(far), bitfield, coarse_march=True, **kw)
+    np.testing.assert_array_equal(np.asarray(dense.counts),
+                                  np.asarray(two.counts))
+    np.testing.assert_array_equal(np.asarray(dense.mask), np.asarray(two.mask))
+    np.testing.assert_allclose(np.asarray(two.ts), np.asarray(dense.ts),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(two.z_vals),
+                               np.asarray(dense.z_vals), atol=1e-5)
+    assert int(dense.counts.sum()) > 0  # the blob is actually hit
+
+
+def test_coarse_march_early_stop():
+    H = 32
+    occ3d = _blob_grid(H=H)
+    bitfield = jnp.asarray(occ3d.reshape(1, -1, order="F"))
+    o = jnp.asarray([[0.0, 0.0, -3.0]])
+    d = jnp.asarray([[0.03, -0.02, 1.0]])
+    d = d / jnp.linalg.norm(d)
+    res = march_rays(o, d, jnp.asarray([2.0]), jnp.asarray([4.2]), bitfield,
+                     bound=1.0, grid_size=H, max_steps=512, num_samples=128,
+                     early_stop_steps=9, coarse_march=True)
+    assert int(res.counts[0]) == 9
