@@ -64,3 +64,35 @@ def test_random_weights_shapes():
     assert p["conv0"]["w"].shape == (64, 3, 11, 11)
     assert p["conv4"]["w"].shape == (256, 256, 3, 3)
     assert p["lin2"]["w"].shape == (384,)
+
+
+def test_load_torch_weights_roundtrip(tmp_path):
+    """torchvision-alexnet + lpips-lin .pth loading (the path a user with
+    real weights takes)."""
+    import torch
+
+    sd = {}
+    conv_idx = [0, 3, 6, 8, 10]
+    shapes = [(64, 3, 11, 11), (192, 64, 5, 5), (384, 192, 3, 3),
+              (256, 384, 3, 3), (256, 256, 3, 3)]
+    g = torch.Generator().manual_seed(0)
+    for li, shp in zip(conv_idx, shapes):
+        sd[f"features.{li}.weight"] = torch.randn(shp, generator=g)
+        sd[f"features.{li}.bias"] = torch.randn(shp[0], generator=g)
+    for i, shp in enumerate(shapes):
+        sd[f"lin{i}.model.1.weight"] = torch.rand((1, shp[0], 1, 1),
+                                                  generator=g)
+    p = tmp_path / "alex.pth"
+    torch.save(sd, p)
+
+    from envidr_tpu.train.lpips import load_torch_weights
+    params = load_torch_weights(str(p))
+    np.testing.assert_allclose(params["conv1"]["w"],
+                               sd["features.3.weight"].numpy())
+    np.testing.assert_allclose(params["lin3"]["w"],
+                               sd["lin3.model.1.weight"].numpy().reshape(256))
+
+    fn = LPIPSJax(weights_path=str(p))
+    assert fn.kind == "alex"
+    a, b = _img(7), _img(8)
+    assert fn(a, a) == 0.0 and np.isfinite(fn(a, b)) and fn(a, b) > 0
