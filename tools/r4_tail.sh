@@ -26,4 +26,12 @@ cp -f exps/r4_laplace_cue/checkpoints/best.ckpt assets/r4_laplace_cue_best.ckpt 
 log "T2 march A/B profile"
 timeout 2400 python -u tools/profile_march_r4.py > exps/profile_march_r4.log 2>&1
 log "T2 rc=$? $(grep 'speedup' exps/profile_march_r4.log | tail -1)"
+
+# T3 (time-permitting): exercise the faithful reference schedule stack
+# (backsdf/cauchy weight scheds switching on at ep40, early-stop raise) in
+# anger — a crash-test of the flag-transition recompiles, not a quality run
+log "T3 schedule-stack burn (80 ep of r4_laplace_ref)"
+timeout 3000 python -m envidr_tpu.apps.cli --config configs/r4_laplace_ref.ini \
+  --max-epochs 80 > exps/r4_laplace_ref.log 2>&1
+log "T3 rc=$? $(grep -h '\[done\]' exps/r4_laplace_ref.log | tail -1)"
 log "tail complete"
