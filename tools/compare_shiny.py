@@ -22,10 +22,12 @@ envidr_tpu.enable_compilation_cache()
 import numpy as np
 
 
-def mirror_mask(pose, H, W, focal):
+def mirror_mask(pose, H, W, focal, spheres=None):
     """Rays (pinhole, OpenGL convention — matches tools/gen_synth_scene.py)
     whose FIRST hit among the scene spheres is the mirror sphere."""
-    from tools.gen_synth_scene import SHINY_SPHERES
+    if spheres is None:
+        from tools.gen_synth_scene import SHINY_SPHERES as spheres
+    SHINY_SPHERES = spheres
     i, j = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
     dirs = np.stack([(i - W / 2) / focal, -(j - H / 2) / focal,
                      -np.ones_like(i)], -1)
@@ -71,10 +73,17 @@ def main():
     from envidr_tpu.geometry.rays import linear_to_srgb
     from envidr_tpu.train.trainer import Trainer
 
-    ds = NeRFDataset("data/synth_shiny", "val", scale=0.8,
+    # dataset + analytic sphere list follow the CONFIG's path (v1 or v2)
+    opt0 = load_options(args.config)
+    data_root = opt0.path or "data/synth_shiny"
+    if data_root.rstrip("/").endswith("2"):
+        from tools.gen_synth_scene import SHINY2_SPHERES as scene_spheres
+    else:
+        from tools.gen_synth_scene import SHINY_SPHERES as scene_spheres
+    ds = NeRFDataset(data_root, "val", scale=opt0.scale,
                      downscale=args.downscale)
     # undo the dataset's ngp pose conversion for the analytic mask: use raw json
-    with open("data/synth_shiny/transforms_val.json") as f:
+    with open(os.path.join(data_root, "transforms_val.json")) as f:
         meta = json.load(f)
     focal_full = 400 * 1.25 / args.downscale
 
@@ -108,7 +117,8 @@ def main():
         gt4 = ds.images[k].astype(np.float32).reshape(ds.H, ds.W, -1) / 255.0
         gt = gt4[..., :3] * gt4[..., 3:4] + (1 - gt4[..., 3:4])
         pose_raw = np.asarray(meta["frames"][k]["transform_matrix"], np.float32)
-        mask = mirror_mask(pose_raw, ds.H, ds.W, focal_full)
+        mask = mirror_mask(pose_raw, ds.H, ds.W, focal_full,
+                           spheres=scene_spheres)
         for tag in ("indir", "base"):
             p = renders[tag][k]
             full_scores[tag].append(psnr(p, gt))
