@@ -150,3 +150,50 @@ def test_patch_and_center_crop_rays():
     assert out2["rays_d"].shape == (1, 256, 3)
     ic = np.asarray(out2["inds"][0][: int(256 * 0.6)])
     assert (ic // 64 >= 16).all() and (ic // 64 < 48).all()
+
+
+def test_compute_visibility_shadow_geometry():
+    """Shadow-map reprojection (lighting_util.py:433-480): a wall at z=0.5
+    in light space occludes points behind it, points in front stay lit."""
+    import numpy as np
+    import jax.numpy as jnp
+    from envidr_tpu.geometry.lighting import compute_visibility
+
+    # light camera at origin looking +z (w2c = identity); depth map: a wall
+    # at depth 0.5 covering the left half of the light image, 2.0 elsewhere
+    Hl = Wl = 33
+    light_depth = np.full((Hl, Wl), 2.0, np.float32)
+    light_depth[:, : Wl // 2] = 0.5
+    light_K = np.array([[16.0, 0, 16.0], [0, 16.0, 16.0], [0, 0, 1]],
+                       np.float32)
+
+    # main camera co-located with the light (simplest exact reprojection):
+    # each pixel's depth places the point either before or behind the wall
+    cam_K = light_K.copy()
+    P = 8
+    uv = np.stack([np.array([4.0] * 4 + [28.0] * 4),      # left | right half
+                   np.full(P, 16.0)], -1).astype(np.float32)
+    cam_depth = np.array([0.3, 0.3, 1.0, 1.0, 0.3, 1.0, 1.9, 1.9],
+                         np.float32)
+    vis = compute_visibility(
+        jnp.asarray(cam_depth), jnp.asarray(light_depth), jnp.asarray(uv),
+        jnp.asarray(cam_K), jnp.asarray(light_K),
+        jnp.eye(3), jnp.zeros(3), jnp.eye(3), jnp.zeros(3),
+        depth_thres=0.05, soft_vis=False)
+    vis = np.asarray(vis)
+    # left-half points at depth 0.3 are in FRONT of the 0.5 wall -> lit;
+    # left-half points at depth 1.0 are BEHIND it -> shadowed
+    assert vis[0] == 1.0 and vis[1] == 1.0
+    assert vis[2] == 0.0 and vis[3] == 0.0
+    # right half: wall at 2.0, all test depths in front -> lit
+    assert vis[4:].min() == 1.0
+
+    # soft ramp: halfway past the bias gives ~0.5 visibility
+    vis_soft = compute_visibility(
+        jnp.asarray(np.array([0.575], np.float32)),  # 0.5 + thres + 0.5*thres
+        jnp.asarray(light_depth),
+        jnp.asarray(np.array([[4.0, 16.0]], np.float32)),
+        jnp.asarray(cam_K), jnp.asarray(light_K),
+        jnp.eye(3), jnp.zeros(3), jnp.eye(3), jnp.zeros(3),
+        depth_thres=0.05, soft_vis=True)
+    assert 0.4 < float(vis_soft[0]) < 0.6
