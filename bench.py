@@ -90,6 +90,7 @@ def main():
         "unit": "rays/s/chip",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
         "config": os.path.basename(cfg_path),
+        "coarse_march": bool(opt.coarse_march),
     }
     # eval-path throughput (weak #8): chunked full-image render
     t0 = time.time()
