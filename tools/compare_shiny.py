@@ -112,7 +112,8 @@ def main():
         renders[tag] = imgs
 
     import imageio.v2 as imageio
-    full_scores, mirror_scores = {"indir": [], "base": []}, {"indir": [], "base": []}
+    full_scores = {"indir": [], "base": []}
+    mirror_scores = {"indir": [], "base": []}
     for k in range(args.n):
         gt4 = ds.images[k].astype(np.float32).reshape(ds.H, ds.W, -1) / 255.0
         gt = gt4[..., :3] * gt4[..., 3:4] + (1 - gt4[..., 3:4])
@@ -120,21 +121,24 @@ def main():
         mask = mirror_mask(pose_raw, ds.H, ds.W, focal_full,
                            spheres=scene_spheres)
         for tag in ("indir", "base"):
-            p = renders[tag][k]
-            full_scores[tag].append(psnr(p, gt))
-            mirror_scores[tag].append(psnr(p, gt, mask))
+            pr = renders[tag][k]
+            full_scores[tag].append(psnr(pr, gt))
+            mirror_scores[tag].append(psnr(pr, gt, mask))
         panel = np.concatenate(
             [renders["base"][k], renders["indir"][k], gt,
              np.repeat(mask[..., None], 3, -1).astype(np.float32)], axis=1)
         imageio.imwrite(os.path.join(args.out, f"ab_{k}.png"),
                         (panel * 255).astype(np.uint8))
 
+    n_mirror = int(np.sum(~np.isnan(mirror_scores["indir"])))
     out = {
         "full_psnr_indir": round(float(np.mean(full_scores["indir"])), 3),
         "full_psnr_base": round(float(np.mean(full_scores["base"])), 3),
-        "mirror_psnr_indir": round(float(np.mean(mirror_scores["indir"])), 3),
-        "mirror_psnr_base": round(float(np.mean(mirror_scores["base"])), 3),
-        "n_views": args.n, "downscale": args.downscale,
+        # views where the mirror is hidden contribute nan — excluded
+        "mirror_psnr_indir": round(float(np.nanmean(mirror_scores["indir"])), 3),
+        "mirror_psnr_base": round(float(np.nanmean(mirror_scores["base"])), 3),
+        "n_views": args.n, "n_mirror_views": n_mirror,
+        "downscale": args.downscale,
     }
     print(json.dumps(out))
     with open(os.path.join(args.out, "scores.json"), "w") as f:
