@@ -48,6 +48,40 @@ def mirror_mask(pose, H, W, focal, spheres=None):
     return best_idx == 0
 
 
+def contact_mask(pose, H, W, focal, spheres):
+    """Mirror pixels whose ONE-BOUNCE reflection hits scene geometry — the
+    region where the interreflection signal actually lives (the rest of the
+    mirror reflects sky and measures env-net fidelity instead)."""
+    def trace_first(o, dirs):
+        best_t = np.full(dirs.shape[:-1], np.inf)
+        best = np.full(dirs.shape[:-1], -1)
+        for si, (c, r, _a, _m) in enumerate(spheres):
+            oc = o - c
+            b = np.sum(dirs * oc, -1)
+            cc = np.sum(oc * oc, -1) - r * r
+            disc = b * b - cc
+            t = -b - np.sqrt(np.maximum(disc, 0))
+            m = (disc > 0) & (t > 1e-4) & (t < best_t)
+            best_t = np.where(m, t, best_t)
+            best = np.where(m, si, best)
+        return best, best_t
+
+    i, j = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+    dirs = np.stack([(i - W / 2) / focal, -(j - H / 2) / focal,
+                     -np.ones_like(i)], -1)
+    dirs = dirs @ pose[:3, :3].T
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    o = np.broadcast_to(pose[:3, 3], dirs.shape)
+    idx, t = trace_first(o, dirs)
+    mirror = idx == 0
+    t_safe = np.where(mirror, t, 1.0)
+    p = o + dirs * t_safe[..., None]
+    n = (p - spheres[0][0]) / spheres[0][1]
+    refl = dirs - 2 * np.sum(dirs * n, -1, keepdims=True) * n
+    idx2, _ = trace_first(p + n * 1e-3, refl)
+    return mirror & (idx2 >= 0)
+
+
 def psnr(a, b, mask=None):
     d = (a - b) ** 2
     if mask is not None:
@@ -114,16 +148,20 @@ def main():
     import imageio.v2 as imageio
     full_scores = {"indir": [], "base": []}
     mirror_scores = {"indir": [], "base": []}
+    contact_scores = {"indir": [], "base": []}
     for k in range(args.n):
         gt4 = ds.images[k].astype(np.float32).reshape(ds.H, ds.W, -1) / 255.0
         gt = gt4[..., :3] * gt4[..., 3:4] + (1 - gt4[..., 3:4])
         pose_raw = np.asarray(meta["frames"][k]["transform_matrix"], np.float32)
         mask = mirror_mask(pose_raw, ds.H, ds.W, focal_full,
                            spheres=scene_spheres)
+        cmask = contact_mask(pose_raw, ds.H, ds.W, focal_full, scene_spheres)
         for tag in ("indir", "base"):
             pr = renders[tag][k]
             full_scores[tag].append(psnr(pr, gt))
             mirror_scores[tag].append(psnr(pr, gt, mask))
+            contact_scores[tag].append(
+                psnr(pr, gt, cmask) if cmask.sum() >= 20 else float("nan"))
         panel = np.concatenate(
             [renders["base"][k], renders["indir"][k], gt,
              np.repeat(mask[..., None], 3, -1).astype(np.float32)], axis=1)
@@ -137,6 +175,8 @@ def main():
         # views where the mirror is hidden contribute nan — excluded
         "mirror_psnr_indir": round(float(np.nanmean(mirror_scores["indir"])), 3),
         "mirror_psnr_base": round(float(np.nanmean(mirror_scores["base"])), 3),
+        "contact_psnr_indir": round(float(np.nanmean(contact_scores["indir"])), 3),
+        "contact_psnr_base": round(float(np.nanmean(contact_scores["base"])), 3),
         "n_views": args.n, "n_mirror_views": n_mirror,
         "downscale": args.downscale,
     }
