@@ -65,6 +65,8 @@ def bench_step(coarse: bool):
     t = timeit(one)
     print(f"coarse={coarse}: step {t*1e3:7.1f} ms "
           f"({opt.num_rays/t:,.0f} rays/s) K={K}", flush=True)
+    # NOTE: trainer.state was DONATED by the first step — use the live state
+    grid_bitfield = state["grid"].bitfield
 
     # march-only timing
     from envidr_tpu.ops.marching import march_rays
@@ -75,7 +77,7 @@ def bench_step(coarse: bool):
     ro, rd = rays["rays_o"][0], rays["rays_d"][0]
     aabb = jnp.asarray([-cfg.bound] * 3 + [cfg.bound] * 3, jnp.float32)
     nears, fars = near_far_from_aabb(ro, rd, aabb, opt.min_near)
-    bf = trainer.state["grid"].bitfield
+    bf = grid_bitfield
 
     march = jax.jit(lambda o, d, n, f, b: march_rays(
         o, d, n, f, b, bound=cfg.bound, grid_size=128, dt_gamma=0.0,
