@@ -60,11 +60,18 @@ def march_rays(
 ) -> MarchResult:
     if (coarse_march and dt_gamma == 0.0 and bitfield.shape[0] == 1
             and t_start is None and grid_size % 4 == 0):
-        return _march_rays_coarse(
-            rays_o, rays_d, nears, fars, bitfield, bound=bound,
-            grid_size=grid_size, max_steps=max_steps,
-            num_samples=num_samples, early_stop_steps=early_stop_steps,
-            perturb_key=perturb_key)
+        # stride: S fine steps must stay inside ONE coarse cell (the
+        # dilation-exactness proof); S degenerates below 2 for small
+        # max_steps -> the coarse pass would save nothing, use dense
+        dt_min_ = 2.0 * SQRT3 / max_steps
+        cell_c = 2.0 * bound / (grid_size // 4)
+        S = min(8, int(cell_c / dt_min_ - 1e-6))
+        if S >= 2:
+            return _march_rays_coarse(
+                rays_o, rays_d, nears, fars, bitfield, bound=bound,
+                grid_size=grid_size, max_steps=max_steps,
+                num_samples=num_samples, early_stop_steps=early_stop_steps,
+                perturb_key=perturb_key, stride=S)
     N = rays_o.shape[0]
     T = max_steps
     K = num_samples
@@ -145,7 +152,7 @@ def march_rays(
 
 def _march_rays_coarse(
     rays_o, rays_d, nears, fars, bitfield, *, bound, grid_size,
-    max_steps, num_samples, early_stop_steps, perturb_key,
+    max_steps, num_samples, early_stop_steps, perturb_key, stride: int = 8,
 ) -> MarchResult:
     """Two-level occupancy march — ~2.7x fewer gather rows.
 
@@ -174,8 +181,9 @@ def _march_rays_coarse(
     K = num_samples
     H = grid_size
     Hc = H // 4
-    S = 8
+    S = stride
     # S fine steps must stay inside one coarse cell for the dilation proof
+    # (the dispatcher derives S from the coarse cell size)
     dt_min = 2.0 * SQRT3 / max_steps
     assert S * dt_min < 2.0 * bound / Hc, (S, dt_min, bound, Hc)
     Tc = -(-T // S)
