@@ -313,7 +313,10 @@ class Options:
     hash_custom_grad: str = "auto"       # 'auto' | 'on' | 'off'
     cp_rank: int = 32                    # CP (MXU) encoder rank
     eval_samples_budget: int = 256
-    eval_ray_chunk: int = 4096
+    # 0 = unset sentinel: finalize() resolves it (max_ray_batch if the config
+    # sets one, else 4096).  An explicit value always wins — the old ==4096
+    # heuristic silently overrode an explicitly-set 4096 (ADVICE r4).
+    eval_ray_chunk: int = 0
     # two-level occupancy march (coarse maxpool probe + fine refine) — cuts
     # the march's gather-row wall ~2.7x; exact up to the M-segment budget
     coarse_march: bool = False
@@ -334,9 +337,15 @@ def finalize(opt: Options) -> Options:
         upd["color_loss"] = "l1"
     # max_ray_batch is the reference's test-time ray chunk (renderer.py:364);
     # our equivalent knob is eval_ray_chunk — map it through unless the user
-    # set eval_ray_chunk explicitly
-    if opt.max_ray_batch != 4096 and opt.eval_ray_chunk == 4096:
-        upd["eval_ray_chunk"] = opt.max_ray_batch
+    # set eval_ray_chunk explicitly (sentinel 0 = unset)
+    if opt.eval_ray_chunk <= 0:
+        if opt.max_ray_batch != 4096:
+            print(f"[config] eval_ray_chunk <- max_ray_batch "
+                  f"({opt.max_ray_batch}); set eval_ray_chunk to override "
+                  f"(large chunks materialize on CPU eval)")
+            upd["eval_ray_chunk"] = opt.max_ray_batch
+        else:
+            upd["eval_ray_chunk"] = 4096
     if opt.use_neus_sdf:
         upd["use_sdf"] = True
     if opt.train_renv:

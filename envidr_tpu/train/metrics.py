@@ -41,6 +41,9 @@ class SSIMMeter:
         k = np.exp(-(r**2) / (2 * sigma**2))
         self.kernel = (k / k.sum()).astype(np.float64)
 
+    def clear(self):
+        self.V, self.N = 0.0, 0
+
     def _blur(self, img):
         # separable gaussian, reflect padding, per channel
         from numpy.lib.stride_tricks import sliding_window_view
@@ -103,6 +106,9 @@ class LPIPSMeter:
                 wpath = cand if os.path.exists(cand) else ""
             self._jax = LPIPSJax(weights_path=wpath or None)
             self.kind = self._jax.kind
+
+    def clear(self):
+        self.V, self.N = 0.0, 0
 
     @property
     def available(self):

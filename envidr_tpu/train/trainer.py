@@ -597,6 +597,11 @@ class Trainer:
         image_B = (opt.image_batch
                    if mode == "scene" and opt.image_batch > 1 else 1)
         if image_B > 1:
+            rem = len(order) % image_B
+            if rem:
+                # wrap-pad the trailing partial group (the reference DataLoader
+                # defaults to drop_last=False, so every frame trains each epoch)
+                order = list(order) + list(order[:image_B - rem])
             n_grp = len(order) // image_B
             order = [np.asarray(order[g * image_B:(g + 1) * image_B])
                      for g in range(n_grp)]
@@ -665,7 +670,7 @@ class Trainer:
                      bg_color=1.0, env_rot_radian=None, mode: str = "scene",
                      material=None, env_index=0):
         params = self.state["ema"] if use_ema else self.state["params"]
-        chunk = self.opt.eval_ray_chunk
+        chunk = self.opt.eval_ray_chunk or 4096  # 0-sentinel: unfinalized opts
         from envidr_tpu.geometry.rays import full_image_rays
         rays_o, rays_d = full_image_rays(
             jnp.asarray(pose)[None], intrinsics, H, W)
@@ -806,7 +811,12 @@ class Trainer:
         from envidr_tpu.train.metrics import LPIPSMeter, SSIMMeter
         meter = PSNRMeter()
         ssim_meter = SSIMMeter()
-        lpips_meter = LPIPSMeter()
+        # one LPIPS instance per Trainer: re-instantiating re-traces the
+        # full-resolution AlexNet graph every eval epoch (slow remote compiler)
+        if getattr(self, "_lpips_meter", None) is None:
+            self._lpips_meter = LPIPSMeter()
+        lpips_meter = self._lpips_meter
+        lpips_meter.clear()
         # opt.test_ids / explicit indices select specific frames
         # (main_nerf.py:129-134's dataloader(test_ids=...))
         idxs = (list(indices) if indices else
@@ -958,11 +968,40 @@ class Trainer:
 
     # ---------------- checkpoints ----------------
 
+    @staticmethod
+    def _retime_opt_state(opt_state, step: int):
+        """Reset every lr-schedule counter inside an optax state tree to
+        ``step``.  Used when a checkpoint carries no ``opt_state`` (best.ckpt,
+        ``full=False``): without this, ``scale_by_schedule`` restarts at count
+        0 → FULL base lr on a model trained to the decay floor — the measured
+        round-4 failure (docs/QUALITY_R4.md) that destroyed a 26 dB model in
+        10 epochs.  The reference avoids it by keying LambdaLR on the restored
+        iter count (main_nerf.py:158, utils.py:1633-1666); this is the optax
+        equivalent."""
+        import optax
+
+        def walk(node):
+            if isinstance(node, optax.ScaleByScheduleState):
+                return optax.ScaleByScheduleState(
+                    count=jnp.asarray(step, dtype=jnp.asarray(node.count).dtype))
+            if isinstance(node, tuple) and hasattr(node, "_fields"):
+                return type(node)(*[walk(c) for c in node])
+            if isinstance(node, tuple):
+                return tuple(walk(c) for c in node)
+            if isinstance(node, list):
+                return [walk(c) for c in node]
+            if isinstance(node, dict):
+                return {k: walk(v) for k, v in node.items()}
+            return node
+
+        return walk(opt_state)
+
     def save_checkpoint(self, name: Optional[str] = None, full: bool = True):
         name = name or f"ep{self.epoch:04d}"
         payload = {
             "epoch": self.epoch,
             "global_step": self.global_step,
+            "iters": self.opt.iters,
             "mean_count": self.mean_count,
             "stats": self.stats,
             "params": jax.tree.map(np.asarray, self.state["params"]),
@@ -1014,12 +1053,32 @@ class Trainer:
             *[jnp.asarray(x) for x in payload["grid"]])
         if "error_map" in payload:
             self.state["error_map"] = jnp.asarray(payload["error_map"])
+        restored_opt = False
         if "opt_state" in payload:
             try:
                 self.state["opt_state"] = jax.tree.map(
                     lambda tgt, src: jnp.asarray(src) if hasattr(src, "shape") else src,
                     self.state["opt_state"], payload["opt_state"])
+                restored_opt = True
             except Exception as e:  # shape mismatch -> reinit (utils.py:1633-1666)
                 print(f"[trainer] optimizer state mismatch, reinit: {e}")
+        if not restored_opt and self.global_step > 0:
+            # best.ckpt is saved full=False (no opt_state).  A fresh optimizer
+            # would restart the lr schedule at step 0 (full base lr) — re-key
+            # the schedule counters on the restored global_step so the first
+            # resumed step lands at the DECAYED lr (main_nerf.py:158 semantics).
+            print(f"[trainer] WARNING: checkpoint has no opt_state — "
+                  f"re-timing lr schedule to step {self.global_step} "
+                  f"(adam moments reinit)")
+            self.state["opt_state"] = self._retime_opt_state(
+                self.state["opt_state"], self.global_step)
+        ck_iters = payload.get("iters")
+        if ck_iters is not None and ck_iters != self.opt.iters:
+            # extending iters on resume RAISES the decayed lr (0.1^(s/iters))
+            # — the other measured round-4 continuation trap
+            print(f"[trainer] WARNING: opt.iters={self.opt.iters} differs "
+                  f"from checkpoint iters={ck_iters}; the lr decay "
+                  f"0.1^(step/iters) will jump accordingly. Prefer resuming "
+                  f"with explicit --set lr at the decay floor.")
         print(f"[trainer] loaded {path} (epoch {self.epoch})")
         return True

@@ -372,3 +372,87 @@ def test_unimplemented_flag_warns():
         warnings.simplefilter("always")
         tiny_opt(warmup_steps=100)
         assert any("unimplemented" in str(x.message) for x in w)
+
+
+def test_resume_best_ckpt_retimes_lr_schedule(ds, tmp_path):
+    """Round-4 measured trap: resuming a full=False best.ckpt restarted the
+    lr schedule at step 0 (full base lr) and destroyed a decayed model.
+    load_checkpoint must re-key every ScaleByScheduleState on the restored
+    global_step (reference: LambdaLR keyed on restored iters,
+    main_nerf.py:158)."""
+    import optax
+
+    opt = tiny_opt(workspace=str(tmp_path), iters=100)
+    trainer = Trainer(opt, network_config(opt), workspace=str(tmp_path))
+    trainer.train_one_epoch(ds)
+    assert trainer.global_step > 0
+    gstep = trainer.global_step
+    trainer.save_checkpoint(name="best", full=False)
+
+    t2 = Trainer(opt, network_config(opt), workspace=str(tmp_path))
+    assert t2.load_checkpoint("best")
+    assert t2.global_step == gstep
+
+    counts = []
+
+    def walk(node):
+        if isinstance(node, optax.ScaleByScheduleState):
+            counts.append(int(np.asarray(node.count)))
+        elif isinstance(node, tuple):
+            for c in node:
+                walk(c)
+        elif isinstance(node, (list,)):
+            for c in node:
+                walk(c)
+        elif isinstance(node, dict):
+            for c in node.values():
+                walk(c)
+
+    walk(t2.state["opt_state"])
+    assert counts, "no ScaleByScheduleState found in opt_state"
+    assert all(c == gstep for c in counts), counts
+
+    # a FULL checkpoint must restore the counts verbatim (no retiming path)
+    trainer.save_checkpoint(name="full_ck", full=True)
+    t3 = Trainer(opt, network_config(opt), workspace=str(tmp_path))
+    t3.load_checkpoint(os.path.join(str(tmp_path), "checkpoints",
+                                    "full_ck.ckpt"))
+    counts.clear()
+    walk(t3.state["opt_state"])
+    assert all(c == gstep for c in counts), counts
+
+
+def test_resume_iters_mismatch_warns(ds, tmp_path, capsys):
+    opt = tiny_opt(workspace=str(tmp_path), iters=100)
+    trainer = Trainer(opt, network_config(opt), workspace=str(tmp_path))
+    trainer.train_one_epoch(ds)
+    path = trainer.save_checkpoint()
+    opt2 = tiny_opt(workspace=str(tmp_path), iters=500)
+    t2 = Trainer(opt2, network_config(opt2), workspace=str(tmp_path))
+    t2.load_checkpoint(path)
+    out = capsys.readouterr().out
+    assert "differs" in out and "iters" in out
+
+
+def test_eval_ray_chunk_sentinel_resolution():
+    # explicit 4096 survives a max_ray_batch override (old ==4096 bug)
+    opt = tiny_opt(eval_ray_chunk=4096, max_ray_batch=8192)
+    assert opt.eval_ray_chunk == 4096
+    # unset -> maps max_ray_batch through
+    opt = tiny_opt(max_ray_batch=8192)
+    del opt  # tiny_opt sets eval_ray_chunk explicitly; use load_options raw
+    from envidr_tpu.config import load_options as _lo
+    o = _lo("", max_ray_batch=8192)
+    assert o.eval_ray_chunk == 8192
+    o = _lo("")
+    assert o.eval_ray_chunk == 4096
+
+
+def test_image_batch_partial_group_wraps(ds):
+    # 3 images, image_batch=2 -> the old code dropped image #3 every epoch
+    opt = tiny_opt(image_batch=2)
+    trainer = Trainer(opt, network_config(opt))
+    stats = trainer.train_one_epoch(ds)
+    # wrap-pad: ceil(3/2)=2 groups of 2 -> 2 steps
+    assert stats["steps" if "steps" in stats else "loss"] is not None
+    assert trainer.global_step == 2
