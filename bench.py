@@ -114,12 +114,13 @@ def main():
             [sys.executable, os.path.join(root, "tools", "bench_scaling.py")],
             capture_output=True, text=True, timeout=1200, env=env)
         row = json.loads(p.stdout.strip().splitlines()[-1])
-        # time(sharded step, 8 vdev) / time(same step, 1 device), CPU host:
-        # ~1.0 = GSPMD partitioning adds no overhead (vdevs share the same
-        # cores, so this measures overhead, not speedup)
-        out["gspmd_8vdev_step_overhead"] = row["ratio"]
-        # rays/s of the same 1024-ray step on 1/2/4/8-vdev meshes (CPU)
-        out["gspmd_vdev_rays_per_sec"] = row.get("vdev_rays_per_sec")
+        # time(8192 rays, 8-vdev sharded) / time(8192 rays, 1 device), CPU
+        # host: ~1.0 = GSPMD partitioning adds no overhead (vdevs share the
+        # same cores, so this measures overhead, not speedup)
+        out["gspmd_overhead_ratio"] = row["gspmd_overhead_ratio"]
+        # WEAK scaling: rays/s per vdev at constant 1024 rays/vdev (CPU)
+        out["weak_rays_per_sec_per_vdev"] = row.get(
+            "weak_rays_per_sec_per_vdev")
     except Exception:
         pass
     print(json.dumps(out))
