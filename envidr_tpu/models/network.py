@@ -643,6 +643,13 @@ def forward_color(
                     c_specular = jnp.where(renv_mask[..., None], blended, c_specular)
                 else:
                     c_specular = blended
+                # observability for the renv gradient-flow probe (r5):
+                # where the indirect branch is actually live, and how much
+                # of the specular color it contributes (1-blend)
+                aux["renv_mask"] = (renv_mask if renv_mask is not None
+                                    else jnp.ones(c_renv.shape[:-1], bool))
+                aux["blend"] = (blend if isinstance(blend, jnp.ndarray)
+                                else jnp.full(c_renv.shape[:-1] + (1,), blend))
     else:
         c_specular = 0.0
     aux["c_specular"] = c_specular

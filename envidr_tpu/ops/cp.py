@@ -49,6 +49,18 @@ class CPSpec:
     per_level_scale: float = 2.0
     # matmul dtype for the two-hot contractions (f32 accumulate)
     compute_dtype: str = "bfloat16"
+    # r5 A/B (tools/bench_cp_encode.py, tools/profile_cp.py on v5e): XLA
+    # lowers these formulations CONTEXT-DEPENDENTLY and the winners flip —
+    #   'take' (gather-lerp):  2.7 ms standalone fwd, but 362 ms full train
+    #       step / 1049 ms render fwd (the 25M take rows hit the ~25 ns/row
+    #       HBM gather wall inside the big graph);
+    #   'twohot' (dense matmul): 1052 ms standalone fwd (lowered as the
+    #       actual dense matmul at MXU peak!), but 47 ms in-context and an
+    #       83 ms full step — XLA rewrites the degenerate two-hot matmuls
+    #       into something vectorized-gather-shaped when fused.
+    # 'twohot' is therefore the production default; 'take' is kept for the
+    # parity tests and future-XLA re-evaluation.
+    formulation: str = "twohot"
 
     resolutions: Tuple[int, ...] = dataclasses.field(init=False)
     scales: Tuple[float, ...] = dataclasses.field(init=False)
@@ -109,6 +121,21 @@ def _axis_feat(table, pos, R, dtype):
                    preferred_element_type=jnp.float32)
 
 
+def _axis_feat_take(table, pos, R):
+    """Gather-lerp lookup: [B] x [R, rank] -> [B, rank] in f32.
+
+    Two `jnp.take` rows per sample; the per-level tables are small enough to
+    live in VMEM, where XLA's vectorized take runs ~0.1 ns/row (r5 bench) —
+    nothing like the 25 ns/row HBM gather-latency wall.  Math identical to
+    the two-hot matmul (same lerp), so parity tests compare them exactly.
+    """
+    i0 = jnp.clip(jnp.floor(pos), 0, R - 2).astype(jnp.int32)
+    frac = (pos - i0)[:, None]
+    v0 = jnp.take(table, i0, axis=0)
+    v1 = jnp.take(table, i0 + 1, axis=0)
+    return v0 * (1.0 - frac) + v1 * frac
+
+
 def cp_encode(inputs: jnp.ndarray, params, spec: CPSpec) -> jnp.ndarray:
     """Encode inputs in [0, 1]^3 -> [..., L*C].  Out-of-bounds -> 0.
 
@@ -118,14 +145,19 @@ def cp_encode(inputs: jnp.ndarray, params, spec: CPSpec) -> jnp.ndarray:
     x = inputs.reshape(-1, spec.input_dim)
     oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1, keepdims=True)
     dtype = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else jnp.float32
+    take = spec.formulation == "take"
     feats = []
     for lvl in range(spec.num_levels):
         R = spec.resolutions[lvl]
         scale = spec.scales[lvl]
         prod = 1.0
         for a in range(spec.input_dim):
-            prod = prod * _axis_feat(params["axes"][lvl][a],
-                                     x[:, a] * scale, R, dtype)
+            if take:
+                prod = prod * _axis_feat_take(params["axes"][lvl][a],
+                                              x[:, a] * scale, R)
+            else:
+                prod = prod * _axis_feat(params["axes"][lvl][a],
+                                         x[:, a] * scale, R, dtype)
         feats.append(jnp.dot(prod, params["proj"][lvl]))      # [B, C]
     out = jnp.concatenate(feats, axis=-1)                     # [B, L*C]
     out = jnp.where(oob, 0.0, out)

@@ -199,6 +199,11 @@ def render_scene(
             + (1.0 - weights_sum[..., None]) * bg)
     results["roughness_image"] = jnp.sum(weights[..., None] * roughness, axis=-2)
     results["roughness"] = roughness
+    if "renv_mask" in aux:   # indirect-branch observability (renv probe)
+        results["renv_mask_image"] = jnp.sum(
+            weights * aux["renv_mask"].astype(jnp.float32), axis=-1)
+        results["blend_image"] = jnp.sum(
+            weights[..., None] * aux["blend"], axis=-2)
 
     if opts.with_loss_aux:
         # consecutive-sample SDF relations (cuda_ray.py:173-211), compacted:

@@ -121,3 +121,43 @@ def test_cp_scene_network_integration():
     tot = sum(float(jnp.abs(t).sum()) for lvl in g["encoder"]["axes"]
               for t in lvl)
     assert np.isfinite(tot) and tot > 0
+
+
+def test_take_matches_twohot_both_orders():
+    """r5: the gather-lerp 'take' formulation (default; 17x faster on chip)
+    must agree with the dense two-hot matmul to f32 precision — value, dx,
+    dtable, and the eikonal second-order."""
+    import dataclasses
+
+    spec_take = dataclasses.replace(SPEC, formulation="take")
+    spec_two = dataclasses.replace(SPEC, formulation="twohot")
+    params = init_cp_params(jax.random.PRNGKey(0), spec_take)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (97, 3))
+
+    np.testing.assert_allclose(np.asarray(cp_encode(x, params, spec_take)),
+                               np.asarray(cp_encode(x, params, spec_two)),
+                               rtol=0, atol=1e-6)
+
+    def loss(p, xx, spec):
+        return jnp.sum(cp_encode(xx, p, spec) ** 2)
+
+    gt_t = jax.grad(loss)(params, x, spec_take)
+    gt_2 = jax.grad(loss)(params, x, spec_two)
+    for a, b in zip(jax.tree.leaves(gt_t), jax.tree.leaves(gt_2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
+
+    gx_t = jax.grad(loss, argnums=1)(params, x, spec_take)
+    gx_2 = jax.grad(loss, argnums=1)(params, x, spec_two)
+    np.testing.assert_allclose(np.asarray(gx_t), np.asarray(gx_2),
+                               rtol=0, atol=1e-4)
+
+    def eik(p, spec):
+        g = jax.grad(lambda xx: jnp.sum(cp_encode(xx, p, spec)))(x)
+        return jnp.sum(g * g)
+
+    e_t = jax.grad(eik)(params, spec_take)
+    e_2 = jax.grad(eik)(params, spec_two)
+    for a, b in zip(jax.tree.leaves(e_t), jax.tree.leaves(e_2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-4)

@@ -100,6 +100,20 @@ SHINY2_SPHERES = [
     (np.array([-0.5, 0.05, 0.3]), 0.17, _checker, False),
 ]
 
+# --shiny3 scene (VERDICT r4 root-cause prescription): the r4 A/B lost
+# because shiny2's secondary rays mostly see SKY (contact region ~1.2% of
+# frame).  Here the mirror sits INSIDE an upward-opening checkered bowl
+# (a shell sphere kept where y < ycut), so reflected rays hit close
+# textured geometry over most of the sphere's solid angle — the setting
+# where a distance-aware indirect pass CAN beat a distance-blind env MLP.
+# 5th tuple element: options dict — 'ycut' keeps hit points with y < ycut,
+# 'shell' enables far-root (inner-surface) hits with two-sided shading.
+SHINY3_SPHERES = [
+    (np.array([0.0, -0.08, 0.0]), 0.32, np.array([0.9, 0.9, 0.92]), True, {}),
+    (np.array([0.0, 0.0, 0.0]), 0.85, _checker, False,
+     {"ycut": 0.25, "shell": True}),
+]
+
 
 def _env_color(dirs):
     """Analytic sky for bounce rays: vertical gradient + warm sun lobe."""
@@ -117,16 +131,36 @@ def trace_shiny(o, dirs, depth=0, spheres=SHINY_SPHERES):
     rgb = np.zeros(shape + (3,))
     hit = np.zeros(shape, bool)
     o = np.broadcast_to(o, dirs.shape)
-    for center, radius, albedo, mirror in spheres:
+    for entry in spheres:
+        center, radius, albedo, mirror = entry[:4]
+        opts = entry[4] if len(entry) > 4 else {}
         oc = o - center
         b = np.sum(dirs * oc, -1)
         c = np.sum(oc * oc, -1) - radius**2
         disc = b * b - c
-        m = disc > 0
-        t = -b - np.sqrt(np.maximum(disc, 0))
-        m &= (t > 1e-4) & (t < best_t)
+        has = disc > 0
+        sq = np.sqrt(np.maximum(disc, 0))
+
+        def _valid(t):
+            v = has & (t > 1e-4) & (t < best_t)
+            if "ycut" in opts:
+                py = o[..., 1] + dirs[..., 1] * t
+                v &= py < opts["ycut"]
+            return v
+
+        t_near, t_far = -b - sq, -b + sq
+        m = _valid(t_near)
+        t = t_near
+        if opts.get("shell"):
+            # fall through to the inner surface where the near hit is
+            # invalid (cut away or behind the origin)
+            m_far = _valid(t_far) & ~m
+            t = np.where(m_far, t_far, t)
+            m = m | m_far
         p = o + dirs * t[..., None]
         n = (p - center) / radius
+        # two-sided: flip the normal on inner-surface hits
+        n = np.where(np.sum(n * dirs, -1, keepdims=True) > 0, -n, n)
         shade = 0.25 + 0.75 * np.clip(np.sum(n * LIGHT_DIR, -1), 0, 1)
         alb = albedo(p) if callable(albedo) else np.broadcast_to(albedo, p.shape)
         if mirror and depth < 1:
@@ -153,7 +187,8 @@ def render_shiny(c2w, H, W, focal, spheres=SHINY_SPHERES):
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 
-def write_split(out, split, n, size, focal, seed, shiny=False, shiny2=False):
+def write_split(out, split, n, size, focal, seed, shiny=False, shiny2=False,
+                shiny3=False):
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(out, split), exist_ok=True)
     frames = []
@@ -166,8 +201,14 @@ def write_split(out, split, n, size, focal, seed, shiny=False, shiny2=False):
     for k in range(n):
         theta = rng.uniform(0, 2 * np.pi)
         phi = rng.uniform(-0.5 * np.pi, 0.1)
+        if shiny3:
+            # look DOWN into the bowl opening (the band where the mirror is
+            # visible through the cut; probed visually, r5)
+            phi = rng.uniform(0.08 * np.pi, 0.25 * np.pi)
         c2w = pose_spherical(theta, phi)
-        if shiny2:
+        if shiny3:
+            img = render_shiny(c2w, size, size, focal, spheres=SHINY3_SPHERES)
+        elif shiny2:
             img = render_shiny(c2w, size, size, focal, spheres=SHINY2_SPHERES)
         elif shiny:
             img = render_shiny(c2w, size, size, focal)
@@ -193,12 +234,15 @@ def main():
     p.add_argument("--shiny2", action="store_true",
                    help="mirror over a tight checkered neighbor (reflection "
                         "dominated by nearby high-frequency geometry)")
+    p.add_argument("--shiny3", action="store_true",
+                   help="mirror ENCLOSED in a checkered bowl: secondary rays "
+                        "hit textured geometry over a large solid angle")
     args = p.parse_args()
     focal = args.size * 1.25
     for split, n, seed in (("train", args.n_train, 0), ("val", args.n_val, 1),
                            ("test", args.n_test, 2)):
         write_split(args.out, split, n, args.size, focal, seed,
-                    args.shiny, args.shiny2)
+                    args.shiny, args.shiny2, args.shiny3)
     print(f"wrote {args.out}: {args.n_train}/{args.n_val}/{args.n_test} frames "
           f"@{args.size}px")
 
