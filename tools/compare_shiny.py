@@ -22,63 +22,39 @@ envidr_tpu.enable_compilation_cache()
 import numpy as np
 
 
-def mirror_mask(pose, H, W, focal, spheres=None):
-    """Rays (pinhole, OpenGL convention — matches tools/gen_synth_scene.py)
-    whose FIRST hit among the scene spheres is the mirror sphere."""
-    if spheres is None:
-        from tools.gen_synth_scene import SHINY_SPHERES as spheres
-    SHINY_SPHERES = spheres
+def _pixel_dirs(pose, H, W, focal):
     i, j = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
     dirs = np.stack([(i - W / 2) / focal, -(j - H / 2) / focal,
                      -np.ones_like(i)], -1)
     dirs = dirs @ pose[:3, :3].T
-    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    o = pose[:3, 3]
-    best_t = np.full((H, W), np.inf)
-    best_idx = np.full((H, W), -1)
-    for si, (c, r, _alb, _m) in enumerate(SHINY_SPHERES):
-        oc = o - c
-        b = np.sum(dirs * oc, -1)
-        cc = np.dot(oc, oc) - r**2
-        disc = b * b - cc
-        t = -b - np.sqrt(np.maximum(disc, 0))
-        m = (disc > 0) & (t > 0) & (t < best_t)
-        best_t = np.where(m, t, best_t)
-        best_idx = np.where(m, si, best_idx)
-    return best_idx == 0
+    return dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+
+def mirror_mask(pose, H, W, focal, spheres=None):
+    """Rays (pinhole, OpenGL convention — matches tools/gen_synth_scene.py)
+    whose FIRST hit among the scene spheres is the mirror sphere."""
+    from tools.gen_synth_scene import first_hit, SHINY_SPHERES
+    if spheres is None:
+        spheres = SHINY_SPHERES
+    dirs = _pixel_dirs(pose, H, W, focal)
+    idx, _ = first_hit(pose[:3, 3], dirs, spheres)
+    return idx == 0
 
 
 def contact_mask(pose, H, W, focal, spheres):
     """Mirror pixels whose ONE-BOUNCE reflection hits scene geometry — the
     region where the interreflection signal actually lives (the rest of the
     mirror reflects sky and measures env-net fidelity instead)."""
-    def trace_first(o, dirs):
-        best_t = np.full(dirs.shape[:-1], np.inf)
-        best = np.full(dirs.shape[:-1], -1)
-        for si, (c, r, _a, _m) in enumerate(spheres):
-            oc = o - c
-            b = np.sum(dirs * oc, -1)
-            cc = np.sum(oc * oc, -1) - r * r
-            disc = b * b - cc
-            t = -b - np.sqrt(np.maximum(disc, 0))
-            m = (disc > 0) & (t > 1e-4) & (t < best_t)
-            best_t = np.where(m, t, best_t)
-            best = np.where(m, si, best)
-        return best, best_t
-
-    i, j = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
-    dirs = np.stack([(i - W / 2) / focal, -(j - H / 2) / focal,
-                     -np.ones_like(i)], -1)
-    dirs = dirs @ pose[:3, :3].T
-    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    from tools.gen_synth_scene import first_hit
+    dirs = _pixel_dirs(pose, H, W, focal)
     o = np.broadcast_to(pose[:3, 3], dirs.shape)
-    idx, t = trace_first(o, dirs)
+    idx, t = first_hit(o, dirs, spheres)
     mirror = idx == 0
     t_safe = np.where(mirror, t, 1.0)
     p = o + dirs * t_safe[..., None]
-    n = (p - spheres[0][0]) / spheres[0][1]
+    n = (p - np.asarray(spheres[0][0])) / spheres[0][1]
     refl = dirs - 2 * np.sum(dirs * n, -1, keepdims=True) * n
-    idx2, _ = trace_first(p + n * 1e-3, refl)
+    idx2, _ = first_hit(p + n * 1e-3, refl, spheres)
     return mirror & (idx2 >= 0)
 
 
@@ -110,7 +86,9 @@ def main():
     # dataset + analytic sphere list follow the CONFIG's path (v1 or v2)
     opt0 = load_options(args.config)
     data_root = opt0.path or "data/synth_shiny"
-    if data_root.rstrip("/").endswith("2"):
+    if data_root.rstrip("/").endswith("3"):
+        from tools.gen_synth_scene import SHINY3_SPHERES as scene_spheres
+    elif data_root.rstrip("/").endswith("2"):
         from tools.gen_synth_scene import SHINY2_SPHERES as scene_spheres
     else:
         from tools.gen_synth_scene import SHINY_SPHERES as scene_spheres

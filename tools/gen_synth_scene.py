@@ -109,9 +109,12 @@ SHINY2_SPHERES = [
 # 5th tuple element: options dict — 'ycut' keeps hit points with y < ycut,
 # 'shell' enables far-root (inner-surface) hits with two-sided shading.
 SHINY3_SPHERES = [
-    (np.array([0.0, -0.08, 0.0]), 0.32, np.array([0.9, 0.9, 0.92]), True, {}),
+    (np.array([0.0, 0.0, -0.05]), 0.32, np.array([0.9, 0.9, 0.92]), True, {}),
+    # shell bowl: the cap facing the cameras (low world-z — the
+    # pose_spherical theta-orbit pole is world z, cameras sit at
+    # z = -3 sin(phi)) is cut away, keep z > -0.45
     (np.array([0.0, 0.0, 0.0]), 0.85, _checker, False,
-     {"ycut": 0.25, "shell": True}),
+     {"zmin": -0.45, "shell": True}),
 ]
 
 
@@ -146,6 +149,9 @@ def trace_shiny(o, dirs, depth=0, spheres=SHINY_SPHERES):
             if "ycut" in opts:
                 py = o[..., 1] + dirs[..., 1] * t
                 v &= py < opts["ycut"]
+            if "zmin" in opts:
+                pz = o[..., 2] + dirs[..., 2] * t
+                v &= pz > opts["zmin"]
             return v
 
         t_near, t_far = -b - sq, -b + sq
@@ -176,6 +182,59 @@ def trace_shiny(o, dirs, depth=0, spheres=SHINY_SPHERES):
     return rgb, hit
 
 
+def first_hit(o, dirs, spheres):
+    """First intersection among spheres, honoring shell/cut opts.
+    Returns (sphere index [..], -1 = miss; t [..]).  Shared by the A/B mask
+    tools (compare_shiny, probe_renv) so shiny3's cut-shell bowl masks use
+    the same geometry as the dataset tracer."""
+    shape = dirs.shape[:-1]
+    best_t = np.full(shape, np.inf)
+    best = np.full(shape, -1)
+    o = np.broadcast_to(o, dirs.shape)
+    for si, entry in enumerate(spheres):
+        center, radius = entry[0], entry[1]
+        opts = entry[4] if len(entry) > 4 else {}
+        oc = o - center
+        b = np.sum(dirs * oc, -1)
+        c = np.sum(oc * oc, -1) - radius**2
+        disc = b * b - c
+        has = disc > 0
+        sq = np.sqrt(np.maximum(disc, 0))
+
+        def _valid(t):
+            v = has & (t > 1e-4) & (t < best_t)
+            if "ycut" in opts:
+                v &= (o[..., 1] + dirs[..., 1] * t) < opts["ycut"]
+            if "zmin" in opts:
+                v &= (o[..., 2] + dirs[..., 2] * t) > opts["zmin"]
+            return v
+
+        t_near, t_far = -b - sq, -b + sq
+        m = _valid(t_near)
+        t = np.where(m, t_near, t_far)
+        if opts.get("shell"):
+            mf = _valid(t_far) & ~m
+            m = m | mf
+        else:
+            t = t_near
+        best = np.where(m, si, best)
+        best_t = np.where(m, t, best_t)
+    return best, best_t
+
+
+def scale_spheres(spheres, s):
+    """Scale a sphere list (incl. cut-plane opts) by the dataset pose scale."""
+    out = []
+    for entry in spheres:
+        c, r, alb, mirror = entry[:4]
+        opts = dict(entry[4]) if len(entry) > 4 else {}
+        for k in ("ycut", "zmin"):
+            if k in opts:
+                opts[k] = opts[k] * s
+        out.append((np.asarray(c) * s, r * s, alb, mirror, opts))
+    return out
+
+
 def render_shiny(c2w, H, W, focal, spheres=SHINY_SPHERES):
     i, j = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
     dirs = np.stack([(i - W / 2) / focal, -(j - H / 2) / focal,
@@ -202,9 +261,9 @@ def write_split(out, split, n, size, focal, seed, shiny=False, shiny2=False,
         theta = rng.uniform(0, 2 * np.pi)
         phi = rng.uniform(-0.5 * np.pi, 0.1)
         if shiny3:
-            # look DOWN into the bowl opening (the band where the mirror is
-            # visible through the cut; probed visually, r5)
-            phi = rng.uniform(0.08 * np.pi, 0.25 * np.pi)
+            # cameras sit at z = -3 sin(phi): positive phi looks into the
+            # -z bowl opening at any theta (probed visually, r5)
+            phi = rng.uniform(0.14 * np.pi, 0.30 * np.pi)
         c2w = pose_spherical(theta, phi)
         if shiny3:
             img = render_shiny(c2w, size, size, focal, spheres=SHINY3_SPHERES)

@@ -66,16 +66,12 @@ def main():
     spheres = {"synth_shiny": gss.SHINY_SPHERES,
                "synth_shiny2": gss.SHINY2_SPHERES,
                "synth_shiny3": gss.SHINY3_SPHERES}[scene_name]
-    spheres4 = [tuple(s[:4]) for s in spheres]
 
     views = []
     for vi, fr in enumerate(meta["frames"]):
         pose_raw = np.array(fr["transform_matrix"], np.float32)
-        pose_raw[:3, 3] *= opt.scale
-        sph = [(np.asarray(c) * opt.scale, r * opt.scale, a, m)
-               for (c, r, a, m) in spheres4]
-        mm = mirror_mask(pose_raw, H, W, focal, spheres=sph)
-        cm = contact_mask(pose_raw, H, W, focal, sph)
+        mm = mirror_mask(pose_raw, H, W, focal, spheres=spheres)
+        cm = contact_mask(pose_raw, H, W, focal, spheres)
         views.append((vi, pose_raw, mm, cm))
     views.sort(key=lambda v: -int(v[3].sum()))
     vi, pose_raw, mm, cm = views[0 if args.view < 0 else args.view]
