@@ -58,20 +58,38 @@ def march_rays(
     t_start: Optional[jnp.ndarray] = None,  # resume t (inference continuation)
     coarse_march: bool = False,   # two-level occupancy probe (see below)
 ) -> MarchResult:
-    if (coarse_march and dt_gamma == 0.0 and bitfield.shape[0] == 1
-            and t_start is None and grid_size % 4 == 0):
-        # stride: S fine steps must stay inside ONE coarse cell (the
-        # dilation-exactness proof); S degenerates below 2 for small
-        # max_steps -> the coarse pass would save nothing, use dense
-        dt_min_ = 2.0 * SQRT3 / max_steps
-        cell_c = 2.0 * bound / (grid_size // 4)
-        S = min(8, int(cell_c / dt_min_ - 1e-6))
-        if S >= 2:
-            return _march_rays_coarse(
-                rays_o, rays_d, nears, fars, bitfield, bound=bound,
-                grid_size=grid_size, max_steps=max_steps,
-                num_samples=num_samples, early_stop_steps=early_stop_steps,
-                perturb_key=perturb_key, stride=S)
+    if coarse_march:
+        import math
+        cascades_ = bitfield.shape[0]
+        # multi-cascade needs the union coarse grid: every cascade's
+        # downsample ratio 4*bound/el must divide grid_size (bound a power
+        # of 2 and grid_size % (4*bound) == 0 covers every real config)
+        # single cascade: its grid spans [-min(1,bound), ..] (cu mip
+        # convention) == [-bound, bound] only when bound <= 1
+        casc_ok = (cascades_ == 1 and bound <= 1.0) or (
+            cascades_ > 1 and bound > 0
+            and float(math.log2(bound)).is_integer()
+            and grid_size % int(4 * bound) == 0)
+        # the coarse cell (== the dilation false-positive shell) must stay
+        # small in world units or the M segment budget drowns in false
+        # positives (measured: cell 0.5 at H=32/bound=2 starves real
+        # segments); production grids (H=128) give 0.0625-0.125
+        cell_ok = (2.0 * bound / max(grid_size // 4, 1)) <= 0.25
+        if dt_gamma == 0.0 and grid_size % 4 == 0 and cell_ok and casc_ok:
+            # stride: S fine steps must stay inside ONE coarse cell (the
+            # dilation-exactness proof); S degenerates below 2 for small
+            # max_steps -> the coarse pass would save nothing, use dense
+            dt_min_ = 2.0 * SQRT3 / max_steps
+            cell_c = 2.0 * bound / (grid_size // 4)
+            S = min(8, int(cell_c / dt_min_ - 1e-6))
+            if S >= 2:
+                return _march_rays_coarse(
+                    rays_o, rays_d, nears, fars, bitfield, bound=bound,
+                    grid_size=grid_size, max_steps=max_steps,
+                    num_samples=num_samples,
+                    early_stop_steps=early_stop_steps,
+                    perturb_key=perturb_key, stride=S, t_start=t_start)
+        _warn_coarse_fallback(bound, grid_size, dt_gamma, cascades_)
     N = rays_o.shape[0]
     T = max_steps
     K = num_samples
@@ -150,9 +168,48 @@ def march_rays(
                        ts=ts_c, mask=mask_c, counts=counts)
 
 
+_COARSE_FALLBACK_WARNED = set()
+
+
+def _warn_coarse_fallback(bound, grid_size, dt_gamma, cascades):
+    """One-time visibility when coarse_march silently degrades to the dense
+    2.1M-row gather (VERDICT r4 weak #4)."""
+    key = (bound, grid_size, dt_gamma, cascades)
+    if key not in _COARSE_FALLBACK_WARNED:
+        _COARSE_FALLBACK_WARNED.add(key)
+        print(f"[march] coarse_march requested but falling back to the dense "
+              f"march (bound={bound}, grid_size={grid_size}, "
+              f"dt_gamma={dt_gamma}, cascades={cascades}): needs dt_gamma==0,"
+              f" grid_size%4==0, and power-of-2 bound dividing grid_size/4 "
+              f"for multi-cascade")
+
+
+def _coarse_union_grid(bitfield, H, Hc, bound):
+    """Union of all cascades' occupancy on one [Hc^3] grid over
+    [-bound, bound], maxpooled then Chebyshev-1 dilated.
+
+    Cascade l covers [-el, el], el = min(2^l, bound) (raymarching.cu:42-47
+    mip convention), so its HxHxH grid downsamples by r = 4*bound/el into
+    the central (H/r)^3 block of the coarse grid."""
+    coarse = jnp.zeros((Hc, Hc, Hc), jnp.float32)
+    cascades = bitfield.shape[0]
+    for lvl in range(cascades):
+        el = min(2.0 ** lvl, bound)
+        r = int(round(4 * bound / el))
+        n = H // r
+        g = bitfield[lvl].reshape(n, r, n, r, n, r)
+        g = jnp.any(g, axis=(1, 3, 5)).astype(jnp.float32)
+        off = (Hc - n) // 2
+        coarse = coarse.at[off:off + n, off:off + n, off:off + n].max(g)
+    coarse = jax.lax.reduce_window(
+        coarse, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
+    return (coarse > 0.0).reshape(-1)
+
+
 def _march_rays_coarse(
     rays_o, rays_d, nears, fars, bitfield, *, bound, grid_size,
     max_steps, num_samples, early_stop_steps, perturb_key, stride: int = 8,
+    t_start=None,
 ) -> MarchResult:
     """Two-level occupancy march — ~2.7x fewer gather rows.
 
@@ -189,25 +246,25 @@ def _march_rays_coarse(
     Tc = -(-T // S)
     k_eff = K if early_stop_steps <= 0 else min(K, early_stop_steps)
     # M*S must cover the K output slots, with 2x headroom over k_eff for
-    # coarse false positives
-    M = min(Tc, max(16, -(-2 * k_eff // S), -(-K // S)))
+    # coarse false positives; multi-cascade worlds are spatially larger
+    # (more disjoint occupied regions per ray), so the positive-segment
+    # budget scales with the cascade count
+    base_m = 16 if bitfield.shape[0] == 1 else 24 * bitfield.shape[0]
+    M = min(Tc, max(base_m, -(-2 * k_eff // S), -(-K // S)))
 
     nears = jax.lax.stop_gradient(nears)
     fars = jax.lax.stop_gradient(fars)
     o = jax.lax.stop_gradient(rays_o)
     d = jax.lax.stop_gradient(rays_d)
 
-    t0 = nears
+    t0 = nears if t_start is None else jax.lax.stop_gradient(t_start)
     if perturb_key is not None:
         noise = jax.random.uniform(perturb_key, (N,))
         t0 = t0 + dt_min * noise
 
-    # ---- coarse grid: maxpool 4^3 then 3^3 Chebyshev dilation ---------
-    occ3 = bitfield[0].reshape(Hc, 4, Hc, 4, Hc, 4)
-    coarse = jnp.any(occ3, axis=(1, 3, 5)).astype(jnp.float32)  # [Hc^3]
-    coarse = jax.lax.reduce_window(
-        coarse, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
-    coarse = (coarse > 0.0).reshape(-1)                          # [Hc^3]
+    # ---- coarse grid: per-cascade maxpool union + Chebyshev dilation ---
+    coarse = _coarse_union_grid(bitfield, H, Hc, bound)          # [Hc^3]
+    cascades = bitfield.shape[0]
 
     # ---- coarse probe at segment starts -------------------------------
     jc = jnp.arange(Tc, dtype=jnp.float32)
@@ -243,10 +300,24 @@ def _march_rays_coarse(
 
     xyz = jnp.clip(o[:, None, :] + ts[..., None] * d[:, None, :],
                    -bound, bound)
-    cell = jnp.clip((0.5 * (xyz / bound + 1.0) * H).astype(jnp.int32),
-                    0, H - 1)
-    flat = cell_index(cell, H)
-    occ = bitfield[0].at[flat].get(mode="promise_in_bounds")     # [N, M*S]
+    if cascades > 1:
+        # per-candidate mip selection — identical to the dense path
+        # (dt is constantly dt_min here, so only position drives the level)
+        import math
+        mx = jnp.max(jnp.abs(xyz), axis=-1)
+        _, exp_pos = jnp.frexp(jnp.maximum(mx, 1e-10))
+        _, exp_dt = math.frexp(max(dt_min * H * 0.5, 1e-10))
+        level = jnp.clip(jnp.maximum(exp_pos, exp_dt), 0, cascades - 1)
+        mip_bound = jnp.minimum(2.0 ** level.astype(jnp.float32), bound)
+        cell = jnp.clip((0.5 * (xyz / mip_bound[..., None] + 1.0) * H)
+                        .astype(jnp.int32), 0, H - 1)
+        flat = level * (H * H * H) + cell_index(cell, H)
+        occ = bitfield.reshape(-1).at[flat].get(mode="promise_in_bounds")
+    else:
+        cell = jnp.clip((0.5 * (xyz / bound + 1.0) * H).astype(jnp.int32),
+                        0, H - 1)
+        flat = cell_index(cell, H)
+        occ = bitfield[0].at[flat].get(mode="promise_in_bounds")  # [N, M*S]
 
     sel = occ & valid
     order = jnp.cumsum(sel.astype(jnp.int32), axis=-1) - 1
