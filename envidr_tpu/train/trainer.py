@@ -880,6 +880,11 @@ class Trainer:
         best = self.stats.get("best_result")
         if track_best and (best is None or psnr > best):
             self.stats["best_result"] = psnr
+            # record the sibling metrics at the selected checkpoint so model
+            # selection is auditable beyond the single PSNR scalar
+            self.stats["best_result_ssim"] = ssim_meter.measure()
+            if lpips_meter.N:
+                self.stats["best_result_lpips"] = lpips_meter.measure()
             self.save_checkpoint(name="best", full=False)
         return psnr
 
