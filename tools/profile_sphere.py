@@ -76,5 +76,30 @@ def profile(name, **overrides):
     return dt
 
 
-profile("analytic")
-profile("numerical", numerical_normals=True)
+def main():
+    # VERDICT r5 #5: the sphere pretrain step (~8.2k rays/s in round 1) gates
+    # every quality campaign.  Arms: the shipping config (hashgrid_diff +
+    # XLA scatter backward), the r3/r4 scatter reroutes (sorted segment-sum,
+    # mixed Pallas), the 2x-cheaper rolled_tiled indexing, and the CP
+    # encoder that made the SCENE step 6x faster.  All interface-compatible
+    # with the rendering MLPs (encoding_pos only changes geometry features).
+    results = {}
+    results["base_xla"] = profile("base_xla")
+    results["sorted"] = profile("sorted", hash_scatter_impl="sorted")
+    results["mixed"] = profile("mixed", hash_scatter_impl="mixed")
+    results["rolled_sorted"] = profile(
+        "rolled_sorted", encoding_pos="rolled_tiled",
+        hash_scatter_impl="sorted")
+    results["cp"] = profile("cp", encoding_pos="cp", cp_rank=32)
+    if os.environ.get("PROFILE_SPHERE_NUMERICAL"):
+        results["numerical"] = profile("numerical", numerical_normals=True)
+    best = min(results, key=results.get)
+    base = results["base_xla"]
+    print("== summary (16384 rays/step) ==", flush=True)
+    for k, v in sorted(results.items(), key=lambda kv: kv[1]):
+        print(f"  {k:14s} {v*1e3:7.0f} ms  {16384/v:8.0f} rays/s  "
+              f"{base/v:5.2f}x vs base", flush=True)
+    print(f"best: {best} ({base/results[best]:.2f}x)", flush=True)
+
+
+main()
