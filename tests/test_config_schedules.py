@@ -76,3 +76,55 @@ def test_resolve_gating_and_hash():
     assert resolve(opt, 5).normal_anneal_ratio == 0.5
     # hash stability: same static fields -> same hash even if weights differ
     assert hash(s10) == hash(resolve(opt, 10))
+
+
+def test_stack_burn_config_transitions():
+    """The compressed toaster stack (configs/scenes/shiny2_stack.ini — every
+    breakpoint of /root/reference/configs/scenes/toaster.ini divided by 10)
+    crosses EVERY schedule transition inside its 45-epoch burn.  Pins the
+    interplay of the full stack: weight anneals, level anneal, step caps,
+    ray-count step, and the indirect-pass switch-on."""
+    opt = load_options("configs/scenes/shiny2_stack.ini")
+    assert opt.backsdf_loss_weight_sched == (5e-3, 1e-5, 12, 30, 40)
+    # 4-element eikonal sched gets its start_iter spliced in (finalize)
+    assert opt.eikonal_loss_weight_sched == (0.001, 0.01, 12, 6, -1)
+
+    s0 = resolve(opt, 0)
+    assert s0.num_rays == 2048 and s0.early_stop_steps == 64
+    assert not s0.flags.use_backsdf_loss and not s0.flags.use_eikonal_loss
+    assert s0.enabled_levels == 10 and not s0.indir_ref
+
+    s1 = resolve(opt, 1)
+    assert s1.num_rays == 4096            # num_rays_sched step at ep1
+
+    s4 = resolve(opt, 4)                   # backsdf/cauchy on + step raise
+    assert s4.flags.use_backsdf_loss and s4.flags.use_cauchy_loss
+    assert s4.weights["backsdf"] == 5e-3 and s4.weights["cauchy"] == 0.1
+    assert s4.early_stop_steps == 128
+
+    s12 = resolve(opt, 12)                 # eikonal on; weight anneals start
+    assert s12.flags.use_eikonal_loss
+    assert s12.weights["eikonal"] == 0.001
+    assert s12.weights["backsdf"] == 5e-3  # anneal begins this epoch
+    assert 10 < resolve(opt, 7).enabled_levels < 16  # levels annealing
+
+    s13 = resolve(opt, 13)
+    assert s13.enabled_levels == 16        # levels fully enabled
+    assert not s13.indir_ref
+
+    s14 = resolve(opt, 14)
+    assert s14.indir_ref and not s14.grad_rays
+    s18 = resolve(opt, 18)
+    assert s18.grad_rays                   # 18 - 14 > grad_rays_start (3)
+    assert abs(s18.weights["eikonal"] - 0.01) < 1e-9  # 6-ep anneal done
+
+    s40 = resolve(opt, 40)                 # step cap back down
+    assert s40.early_stop_steps == 64
+    s43 = resolve(opt, 43)                 # 30-ep weight anneals complete
+    assert abs(s43.weights["backsdf"] - 1e-5) < 1e-9
+    assert abs(s43.weights["cauchy"] - 0.001) < 1e-9
+
+    # every flag/static transition implies a fresh jit cache entry — count
+    # the distinct compiled-step variants the burn will pay for
+    hashes = {hash(resolve(opt, ep)) for ep in range(0, 45)}
+    assert 4 <= len(hashes) <= 8

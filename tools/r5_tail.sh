@@ -64,6 +64,6 @@ run_stage "T1-profile-sphere" 2700 exps/r5_profile_sphere.log \
 
 run_stage "T2-stack-burn" 4800 exps/r5_stack_burn.log \
   python -m envidr_tpu.apps.cli --config configs/scenes/shiny2_stack.ini \
-    --max-epochs 90
+    --max-epochs 45
 log "T2 last: $(grep 'eval ep' exps/r5_stack_burn.log 2>/dev/null | tail -1)"
 log "tail complete"
