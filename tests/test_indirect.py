@@ -71,3 +71,31 @@ def test_renv_gradients_flow_when_branch_active():
     g = jax.grad(loss)(params)
     g_renv = float(jnp.abs(g["renv_net"][0]["w"]).sum())
     assert g_renv > 0.0, "renv branch active but no gradient reached renv_net"
+
+
+def test_roughness_init_opens_indir_gate_at_scene_scale():
+    """Round-5 root cause (tools/probe_renv.py): the renv branch is gated by
+    roughness < indir_roughness_thresh, and the head initializes at
+    act_scale * softplus(roughness_bias).  The reference's SCENE-side
+    default act_scale=0.2 (options.py:246) starts the head INSIDE the gate
+    (0.063 < 0.1); the PRETRAIN value 1.0 starts it permanently outside
+    (0.31), silencing renv_net's gradient for an entire run.  Pin both."""
+    from envidr_tpu.config import load_options, network_config
+    from envidr_tpu.models.network import forward_geometry
+
+    opt = load_options("configs/scenes/shiny3_indir.ini")
+    assert opt.roughness_act_scale == 0.2      # the r5 fix itself
+    cfg = network_config(opt)
+    xyz = jnp.asarray(
+        np.random.default_rng(0).uniform(-0.8, 0.8, (256, 3)), jnp.float32)
+
+    for scale, opens in ((0.2, True), (1.0, False)):
+        c = dataclasses.replace(cfg, roughness_act_scale=scale)
+        params = init_network_params(jax.random.PRNGKey(0), c)
+        rough = forward_geometry(params, c, xyz, None)["roughness"]
+        frac_inside = float(
+            jnp.mean((rough[..., 0] < c.indir_roughness_thresh)))
+        if opens:
+            assert frac_inside > 0.9, frac_inside
+        else:
+            assert frac_inside < 0.1, frac_inside
