@@ -34,6 +34,8 @@ print(f"devices: {jax.devices()}", flush=True)
 
 
 def profile(name, **overrides):
+    if os.environ.get("PROFILE_SPHERE_RAYS"):  # CPU smoke hook
+        overrides["num_rays"] = int(os.environ["PROFILE_SPHERE_RAYS"])
     opt = load_options("configs/neural_renderer_synth.ini",
                        workspace=f"/tmp/profile_sphere_{name}", **overrides)
     cfg = network_config(opt)
@@ -83,21 +85,26 @@ def main():
     # mixed Pallas), the 2x-cheaper rolled_tiled indexing, and the CP
     # encoder that made the SCENE step 6x faster.  All interface-compatible
     # with the rendering MLPs (encoding_pos only changes geometry features).
+    arm_defs = {
+        "base_xla": {},
+        "sorted": dict(hash_scatter_impl="sorted"),
+        "mixed": dict(hash_scatter_impl="mixed"),
+        "rolled_sorted": dict(encoding_pos="rolled_tiled",
+                              hash_scatter_impl="sorted"),
+        "cp": dict(encoding_pos="cp", cp_rank=32),
+        "numerical": dict(numerical_normals=True),
+    }
+    default = "base_xla,sorted,mixed,rolled_sorted,cp"
+    arms = os.environ.get("PROFILE_SPHERE_ARMS", default).split(",")
     results = {}
-    results["base_xla"] = profile("base_xla")
-    results["sorted"] = profile("sorted", hash_scatter_impl="sorted")
-    results["mixed"] = profile("mixed", hash_scatter_impl="mixed")
-    results["rolled_sorted"] = profile(
-        "rolled_sorted", encoding_pos="rolled_tiled",
-        hash_scatter_impl="sorted")
-    results["cp"] = profile("cp", encoding_pos="cp", cp_rank=32)
-    if os.environ.get("PROFILE_SPHERE_NUMERICAL"):
-        results["numerical"] = profile("numerical", numerical_normals=True)
+    for name in arms:
+        results[name] = profile(name, **arm_defs[name])
     best = min(results, key=results.get)
-    base = results["base_xla"]
-    print("== summary (16384 rays/step) ==", flush=True)
+    base = results.get("base_xla", results[arms[0]])
+    rays = int(os.environ.get("PROFILE_SPHERE_RAYS", 16384))
+    print(f"== summary ({rays} rays/step) ==", flush=True)
     for k, v in sorted(results.items(), key=lambda kv: kv[1]):
-        print(f"  {k:14s} {v*1e3:7.0f} ms  {16384/v:8.0f} rays/s  "
+        print(f"  {k:14s} {v*1e3:7.0f} ms  {rays/v:8.0f} rays/s  "
               f"{base/v:5.2f}x vs base", flush=True)
     print(f"best: {best} ({base/results[best]:.2f}x)", flush=True)
 
