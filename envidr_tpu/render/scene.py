@@ -19,8 +19,8 @@ import jax.numpy as jnp
 
 from envidr_tpu.geometry.rays import near_far_from_aabb, sph_from_ray
 from envidr_tpu.models.network import (
-    NetworkConfig, background_color, forward_color, geometry_with_normals,
-    get_color_mlp_extra_params, sdf_to_sigma,
+    NetworkConfig, _safe_normalize, background_color, forward_color,
+    geometry_with_normals, get_color_mlp_extra_params, sdf_to_sigma,
 )
 from envidr_tpu.ops.compositing import alphas_from_sigmas, weights_from_alphas
 from envidr_tpu.ops.marching import march_rays
@@ -164,8 +164,13 @@ def render_scene(
 
     if opts.geometry_only:
         n_img = jnp.sum(weights[..., None] * normals, axis=-2)
-        results["normal_image"] = n_img / jnp.maximum(
-            jnp.linalg.norm(n_img, axis=-1, keepdims=True), 1e-10)
+        # smooth normalization, NOT x/max(|x|,eps): background rays composite
+        # to an exactly-zero n_img, where the hard form's backward is
+        # 0/0=NaN even under a zero cotangent — and the indirect pass pulls
+        # gradient through this image (ref_d), which froze the r5 shiny3
+        # indir arm via apply_if_finite skipping every step (notfinite_count
+        # == total_notfinite from the switch-on epoch).
+        results["normal_image"] = _safe_normalize(n_img)
         results["image"] = None
         results["sphere_bg"] = bg if opts.use_bg_net else None
         return results
@@ -188,8 +193,10 @@ def render_scene(
 
     if normals is not None:
         n_img = jnp.sum(weights[..., None] * jax.lax.stop_gradient(normals), axis=-2)
-        results["normal_image"] = n_img / jnp.maximum(
-            jnp.linalg.norm(n_img, axis=-1, keepdims=True), 1e-10)
+        # smooth form: the hard max-guard NaNs in backward at n_img == 0
+        # (see the geometry_only branch above); gradient still flows via
+        # the weights even though normals are detached here
+        results["normal_image"] = _safe_normalize(n_img)
     if cfg.use_diffuse and not cfg.diffuse_only:
         results["diffuse_image"] = (
             jnp.sum(weights[..., None] * aux["c_diffuse"], axis=-2)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from envidr_tpu.geometry.rays import sphere_intersections
 from envidr_tpu.models.network import (
-    NetworkConfig, forward_geometry, geometry_with_normals,
+    NetworkConfig, _safe_normalize, forward_geometry, geometry_with_normals,
     get_color_mlp_extra_params, forward_color, sdf_to_sigma,
 )
 from envidr_tpu.ops.compositing import alphas_from_sigmas, weights_from_alphas
@@ -126,7 +126,7 @@ def render_sphere(
 
     if normals is not None:
         n_img = jnp.sum(weights[..., None] * jax.lax.stop_gradient(normals), axis=-2)
-        n_img = n_img / jnp.maximum(jnp.linalg.norm(n_img, axis=-1, keepdims=True), 1e-12)
+        n_img = _safe_normalize(n_img)  # smooth: hard guard NaNs in backward at 0
         results["normal_image"] = jnp.where(mask[:, None], n_img, 0.0)
 
     if cfg.use_diffuse and not cfg.diffuse_only:

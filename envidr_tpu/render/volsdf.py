@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from envidr_tpu.geometry.rays import near_far_from_aabb
 from envidr_tpu.models.network import (
-    NetworkConfig, forward_geometry, geometry_with_normals,
+    NetworkConfig, _safe_normalize, forward_geometry, geometry_with_normals,
     get_color_mlp_extra_params, forward_color,
 )
 from envidr_tpu.ops.density import laplace_beta, laplace_density
@@ -224,6 +224,7 @@ def render_volsdf(params, cfg: NetworkConfig, opts: VolSDFOptions,
         out["sdf_gradients"] = sdf_gradients
     if normals is not None:
         n_img = jnp.sum(weights[..., None] * jax.lax.stop_gradient(normals), -2)
-        out["normal_image"] = n_img / jnp.maximum(
-            jnp.linalg.norm(n_img, axis=-1, keepdims=True), 1e-10)
+        # smooth normalization: the hard max-guard's backward is NaN at an
+        # exactly-zero composite (background rays) — see render/scene.py
+        out["normal_image"] = _safe_normalize(n_img)
     return out

@@ -99,3 +99,49 @@ def test_roughness_init_opens_indir_gate_at_scene_scale():
             assert frac_inside > 0.9, frac_inside
         else:
             assert frac_inside < 0.1, frac_inside
+
+
+def test_indirect_grads_finite_with_background_rays():
+    """Round-5 regression (the shiny3 freeze): rays that march ZERO samples
+    composite an exactly-zero normal image; the old hard-max normalization
+    (n_img / max(|n_img|, eps)) has a 0/0 backward there, and the indirect
+    pass — alone among consumers — differentiates through normal_image (via
+    ref_d), so every step NaN'd and apply_if_finite froze the whole run
+    (notfinite_count == total_notfinite in the arm's opt_state).  With the
+    smooth _safe_normalize the full indirect gradient must be finite."""
+    cfg = dataclasses.replace(SCENE_CFG, use_renv=True)
+    params = init_network_params(jax.random.PRNGKey(0), cfg)
+    spec = GridSpec(grid_size=32)
+    grid = init_grid(spec)
+    # occupancy only in the x>0 half: rays aimed at x<0 march no samples
+    occ = np.zeros(np.asarray(grid.bitfield).shape, bool)
+    occ_3d = occ.reshape(spec.cascades, 32, 32, 32)
+    occ_3d[:, 20:28, 12:20, 12:20] = True
+    bitfield = jnp.asarray(occ_3d.reshape(occ.shape))
+    o = np.tile([[0.0, 0.0, -2.5]], (16, 1)).astype(np.float32)
+    tgt = np.concatenate([
+        np.tile([[0.5, 0.0, 0.0]], (8, 1)),      # hit the occupied block
+        np.tile([[-0.7, -0.7, 0.0]], (8, 1)),    # miss everything
+    ]).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays_o, rays_d = jnp.asarray(o), jnp.asarray(d)
+    aabb = jnp.asarray([-1.0, -1, -1, 1, 1, 1])
+    opts = SceneRenderOptions(max_steps=128, num_samples=32, training=True,
+                              grid_size=spec.grid_size)
+    iopts = IndirectOptions(indir_max_steps=128, indir_early_stop_steps=16,
+                            indir_num_samples=16, grad_rays=False)
+
+    def loss(p):
+        out = render_scene_indirect(p, cfg, opts, iopts, bitfield,
+                                    rays_o, rays_d, 1.0, aabb,
+                                    key=jax.random.PRNGKey(1))
+        return jnp.mean(out["image"] ** 2) + jnp.sum(out["normal_image"]), out
+
+    (l, out), g = jax.value_and_grad(loss, has_aux=True)(params)
+    ws = np.asarray(out["weights_sum"])
+    assert np.any(ws == 0.0), "fixture must contain true background rays"
+    assert np.isfinite(float(l))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g):
+        assert np.all(np.isfinite(np.asarray(leaf))), \
+            f"non-finite grad at {jax.tree_util.keystr(path)}"
