@@ -155,11 +155,13 @@ def main(argv=None):
             path = trainer.save_checkpoint(name=f"emergency_ep{trainer.epoch:04d}")
             log(f"[error] {type(e).__name__}: {e}; saved {path}")
             raise
+        nf = int(stats.get("notfinite", 0))
         log(f"[ep {trainer.epoch:4d}] loss={stats['loss']:.5f} "
             f"color={stats.get('color', 0):.5f} "
             f"rays/s={stats['rays_per_sec']:.0f} "
             f"K={trainer.sample_budget(trainer._sched) if mode == 'scene' else 12} "
-            f"mean_count={trainer.mean_count:.1f} t={stats['time']:.1f}s")
+            f"mean_count={trainer.mean_count:.1f} t={stats['time']:.1f}s"
+            + (f" NOTFINITE={nf}" if nf else ""))
         eval_int = opt.eval_interval if opt.eval_interval > 0 else 50
         if (ep + 1) % eval_int == 0 or ep == max_epochs - 1:
             trainer.save_checkpoint()  # before eval: an eval OOM must not lose work

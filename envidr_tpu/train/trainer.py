@@ -550,6 +550,12 @@ class Trainer:
             metrics = dict(terms, loss=loss)
             if mode == "scene":
                 metrics["mean_count"] = jnp.mean(out["counts"].astype(jnp.float32))
+            # surface the NaN-skip counter: apply_if_finite silently drops
+            # non-finite updates, which froze a whole arm for 120 epochs in
+            # round 5 with no log signal — make the skip count visible
+            nf = getattr(new_opt, "total_notfinite", None)
+            if nf is not None:
+                metrics["notfinite"] = nf.astype(jnp.float32)
             return new_state, metrics
 
         return jax.jit(step, donate_argnums=(0,))
@@ -653,6 +659,8 @@ class Trainer:
 
         avg = {k: float(np.mean([float(m[k]) for m in losses]))
                for k in losses[0]}
+        if "notfinite" in avg:  # cumulative counter: report the epoch-end value
+            avg["notfinite"] = float(losses[-1]["notfinite"])
         avg["time"] = time.time() - t0
         avg["rays_per_sec"] = sched.num_rays * len(order) / avg["time"]
         self.stats["loss"].append(avg["loss"])
