@@ -73,6 +73,7 @@ def compute_losses(
     weights: Dict[str, jnp.ndarray],
     *,
     beta=None,                           # Laplace beta (for cauchy/entropy)
+    neus_inv_s=None,                     # NeuS sharpness (cauchy/entropy analogue)
     alpha_mask: Optional[jnp.ndarray] = None,   # [N] gt alpha
     diffuse_gt: Optional[jnp.ndarray] = None,
     roughness: Optional[jnp.ndarray] = None,
@@ -136,8 +137,22 @@ def compute_losses(
 
     reg_density = None
     if flags.use_cauchy_loss or flags.use_entropy_loss:
-        b = beta if flags.cauchy_undetach_beta else jax.lax.stop_gradient(beta)
-        reg_density = laplace_density(outputs["sdfs"], b, 1.0)
+        if beta is not None:
+            b = beta if flags.cauchy_undetach_beta \
+                else jax.lax.stop_gradient(beta)
+            reg_density = laplace_density(outputs["sdfs"], b, 1.0)
+        elif neus_inv_s is not None:
+            # NeuS has no Laplace beta; the reference crashes on
+            # cauchy+NeuS (NeuSDensity lacks get_beta, network.py:46-67 vs
+            # utils.py:762).  The natural analogue is the logistic CDF with
+            # the learned sharpness — same 0/1-pushing shape.
+            s = neus_inv_s if flags.cauchy_undetach_beta \
+                else jax.lax.stop_gradient(neus_inv_s)
+            reg_density = jax.nn.sigmoid(-outputs["sdfs"] * s)
+        else:
+            raise ValueError(
+                "cauchy/entropy loss needs a density sharpness: pass beta "
+                "(Laplace) or neus_inv_s (NeuS)")
 
     if flags.use_cauchy_loss:
         # utils.py:760-774: log1p on (1-density)^2, pushes density to 0 or 1

@@ -516,8 +516,14 @@ class Trainer:
                                     cfg.beta_max) if cfg.use_sdf and not cfg.use_neus_sdf else None
                 if beta is not None and beta_cap is not None:
                     beta = jnp.minimum(beta, beta_cap)
+                neus_inv_s = None
+                if cfg.use_sdf and cfg.use_neus_sdf:
+                    neus_inv_s = jnp.clip(
+                        jnp.exp(p["sdf_density"]["variance"] * 10.0),
+                        1e-6, 1e6)
                 total, terms = compute_losses(
                     out, gt_rgb, sched.flags, weights, beta=beta,
+                    neus_inv_s=neus_inv_s,
                     alpha_mask=alpha_mask, roughness=out.get("roughness"))
                 return total, (out, terms)
 
